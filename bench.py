@@ -1,0 +1,82 @@
+"""Benchmark: object reconstructions/second on real TPU hardware.
+
+Measures the FLOPs core of the system — the joint Sim(3)+code Gauss-Newton
+reconstruction at the reference's KITTI budget (`configs/config_kitti.json`:
+10 GN iterations, 64-d code, 50 depth samples/ray, ≤250 LiDAR surface points,
+~450 rays) with the full cars_64 DeepSDF decoder architecture.
+
+Baseline: the reference runs the whole pipeline at ~10 FPS on an RTX
+2080/3080 (`README.md:3`) with at most one object reconstruction per
+keyframe; one reconstruction per 0.1 s (10/s) is the reference envelope.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_RECON_PER_S = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dsp_slam_rgbd_tpu.models import deepsdf
+    from dsp_slam_rgbd_tpu.recon.optimizer import (
+        ReconConfig,
+        reconstruct_objects_batched,
+    )
+
+    spec = deepsdf.DecoderSpec()  # full cars_64 arch (64-d code, 8x512)
+    params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
+    cfg = ReconConfig()  # KITTI defaults: 10 iters, 50 depth samples
+
+    B = 8            # objects per batch (a busy KITTI keyframe)
+    N_PTS = 256      # surface points (reference caps at 250)
+    N_RAYS = 512     # fg+bg rays (reference ~250 fg + 200 bg)
+
+    rng = np.random.default_rng(0)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0, 0, 8.0]
+    pts = (rng.standard_normal((B, N_PTS, 3)) * 0.5 + [0, 0, 8.0]).astype(
+        np.float32
+    )
+    rays = (rng.standard_normal((B, N_RAYS, 3)) * 0.04 + [0, 0, 1.0]).astype(
+        np.float32
+    )
+    rays /= np.linalg.norm(rays, axis=2, keepdims=True)
+
+    args = (
+        params, spec, cfg,
+        jnp.asarray(np.stack([T] * B)),
+        jnp.asarray(pts), jnp.ones((B, N_PTS), bool),
+        jnp.asarray(rays), jnp.ones((B, N_RAYS), bool),
+        jnp.full((B, N_RAYS), 8.0, dtype=jnp.float32),
+        jnp.ones((B, N_RAYS), bool),
+        jnp.zeros((B, cfg.code_len)),
+    )
+
+    # warmup / compile
+    out = reconstruct_objects_batched(*args)
+    out.t_cam_obj.block_until_ready()
+
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = reconstruct_objects_batched(*args)
+    out.t_cam_obj.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    recon_per_s = (B * n_rep) / dt
+    print(json.dumps({
+        "metric": "kitti_budget_object_reconstructions_per_s",
+        "value": round(recon_per_s, 3),
+        "unit": "reconstructions/s",
+        "vs_baseline": round(recon_per_s / BASELINE_RECON_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

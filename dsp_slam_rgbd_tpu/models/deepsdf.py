@@ -55,6 +55,22 @@ class DecoderSpec(NamedTuple):
         return out
 
 
+class AnalyticSdfSpec(NamedTuple):
+    """A closed-form SDF standing in for the MLP decoder.
+
+    `fn(params, inputs)` maps (N, latent+3) -> (N,) SDF values.  Must be a
+    module-level function (hashable) so the spec can be a jit static arg.
+    Used by tests (synthetic quadrics à la SURVEY.md §4) and available for
+    geometric-primitive objects at runtime.
+    """
+    latent_size: int
+    fn: object
+
+    @property
+    def in_dim(self) -> int:
+        return self.latent_size + 3
+
+
 def init_params(spec: DecoderSpec, key: jax.Array, dtype=jnp.float32):
     layers = []
     for in_dim, out_dim in spec.layer_dims():
@@ -72,6 +88,8 @@ def apply(params, spec: DecoderSpec, inputs: jnp.ndarray,
     Mirrors reference forward semantics (`deep_sdf_decoder.py:85-110`):
     ReLU between layers, concat(x, input) at latent_in layers, final tanh.
     """
+    if isinstance(spec, AnalyticSdfSpec):
+        return spec.fn(params, inputs)
     x = inputs.astype(compute_dtype)
     inp = x
     n_layers = len(params["layers"])

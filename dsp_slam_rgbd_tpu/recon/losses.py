@@ -1,0 +1,154 @@
+"""Shape/pose reconstruction losses with analytic GN Jacobians.
+
+Re-implements the semantics of the reference `reconstruct/loss.py`
+(compute_sdf_loss :22-43, compute_render_loss :60-166,
+compute_rotation_loss_sim3 :169-192) in masked fixed-shape JAX:
+
+  * every variable-length gather in the reference (valid samples, with-grad
+    samples, non-zero-grad samples) becomes a mask or a fixed-capacity
+    compaction (`jnp.nonzero(size=K)`), so the whole loss jits once and vmaps
+    over objects;
+  * the decoder Jacobian is the fused forward+reverse sweep from
+    `models.deepsdf.sdf_and_input_jacobian` — no autograd graphs per point.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dsp_slam_rgbd_tpu.models import deepsdf
+from dsp_slam_rgbd_tpu.ops import lie
+
+
+def sdf_to_occupancy(sdf: jnp.ndarray, th: float = 0.01) -> jnp.ndarray:
+    """Linear SDF→occupancy ramp on ±th (reference `loss_utils.py:40-48`)."""
+    return 0.5 - jnp.clip(sdf, -th, th) / (2.0 * th)
+
+
+class SdfLossResult(NamedTuple):
+    jac_pose: jnp.ndarray   # (N, 7) d res / d sim3(t_obj_cam), tangent [v,w,s]
+    jac_code: jnp.ndarray   # (N, L)
+    res: jnp.ndarray        # (N,)
+    mask: jnp.ndarray       # (N,) live surface points
+
+
+def compute_sdf_loss(params, spec, pts_surface_cam, mask, t_obj_cam, code,
+                     compute_dtype=jnp.float32) -> SdfLossResult:
+    """Surface-point SDF term: residual = SDF(T_oc · p_cam; z).
+
+    Masked equivalent of reference `loss.py:22-43`.  `t_obj_cam` may be
+    Sim(3); jac_pose is wrt its left-perturbation tangent (7,).
+    """
+    pts_obj = lie.transform_points(t_obj_cam, pts_surface_cam)
+    res, jac_in = deepsdf.sdf_and_input_jacobian(
+        params, spec, code, pts_obj, compute_dtype
+    )
+    de_dxo = jac_in[:, -3:]                                  # (N, 3)
+    dxo_dT = lie.points_to_pose_jacobian_sim3(pts_obj)       # (N, 3, 7)
+    jac_pose = jnp.einsum("ni,nij->nj", de_dxo, dxo_dT)      # (N, 7)
+    jac_code = jac_in[:, :-3]                                # (N, L)
+    return SdfLossResult(jac_pose, jac_code, res, mask)
+
+
+class RenderLossResult(NamedTuple):
+    jac_pose: jnp.ndarray   # (K, 7)
+    jac_code: jnp.ndarray   # (K, L)
+    res: jnp.ndarray        # (K,)
+    mask: jnp.ndarray       # (K,) live gradient points
+    n_valid: jnp.ndarray    # scalar: in-sphere sample count (failure check)
+
+
+def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
+                        sampled_depths, code, th: float = 0.01,
+                        max_grad_points: int = 2048,
+                        compute_dtype=jnp.float32) -> RenderLossResult:
+    """Depth-rendering term via ray termination probabilities.
+
+    Dense masked re-derivation of reference `loss.py:60-166`:
+
+      * sample R rays × M depths, transform to object frame;
+      * occupancy o = ramp(SDF) where ‖x‖ < 1, else 0 (value-only pass);
+      * per-ray transmittance T_l = Π_{j≤l}(1−o_j); termination probability
+        p_l = o_l · T_{l−1}; rendered depth d_u = Σ d̂_l p_l with the
+        background bin d̂_M = 1.1 d_max, o_M = 1;
+      * ∂e/∂o_m = (Σ_{l≥m} T_l)/(1−o_m) — a reverse cumsum, no per-point
+        ray copies;
+      * gradient points (|SDF| < th and ∂e/∂o > 1e-2) are compacted to a
+        static capacity K = max_grad_points and only those get the decoder
+        Jacobian pass.
+
+    Residual is clamped to ±0.30 m (reference :153).
+    """
+    R = ray_dirs.shape[0]
+    M = sampled_depths.shape[0]
+    pts_cam = ray_dirs[:, None, :] * sampled_depths[None, :, None]  # (R, M, 3)
+    pts_obj = lie.transform_points(t_obj_cam, pts_cam.reshape(-1, 3)).reshape(R, M, 3)
+
+    valid = (jnp.linalg.norm(pts_obj, axis=-1) < 1.0) & ray_mask[:, None]
+    sdf_vals = deepsdf.sdf(
+        params, spec, code, pts_obj.reshape(-1, 3), compute_dtype
+    ).reshape(R, M)
+    occ = jnp.where(valid, sdf_to_occupancy(sdf_vals, th), 0.0)  # (R, M)
+
+    d_min, d_max = sampled_depths[0], sampled_depths[-1]
+    acc_trans = jnp.cumprod(1.0 - occ, axis=-1)  # (R, M) = T_1..T_M
+    # augmented: T_0 = 1 prepended; o_M = 1 appended; d̂_M = 1.1 d_max
+    acc_aug = jnp.concatenate([jnp.ones((R, 1)), acc_trans], axis=-1)  # (R, M+1)
+    o_aug = jnp.concatenate([occ, jnp.ones((R, 1))], axis=-1)
+    d_aug = jnp.concatenate([sampled_depths, 1.1 * d_max[None]], axis=0)
+    term_prob = o_aug * acc_aug  # (R, M+1)
+    d_u = jnp.sum(d_aug[None, :] * term_prob, axis=-1)  # (R,)
+
+    # de/do_m = (Σ_{l≥m} T_l) / (1 − o_m)
+    rev_cumsum = jnp.cumsum(acc_trans[:, ::-1], axis=-1)[:, ::-1]  # (R, M)
+    de_do = rev_cumsum / jnp.maximum(1.0 - occ, 1e-6)
+
+    with_grad = valid & (jnp.abs(sdf_vals) < th) & (de_do > 1e-2)
+    n_valid = jnp.sum(valid)
+
+    # residual per ray, clamped; broadcast to sample points
+    res_ray = jnp.clip(depth_obs - d_u, -0.30, 0.30)  # (R,)
+
+    delta_d = (d_max - d_min) / (M - 1)
+    do_ds = -1.0 / (2.0 * th)
+    de_ds = de_do * delta_d * do_ds  # (R, M)
+
+    # ---- fixed-capacity compaction of gradient points ----
+    flat_mask = with_grad.reshape(-1)
+    (idx,) = jnp.nonzero(flat_mask, size=max_grad_points, fill_value=0)
+    live = flat_mask[idx]
+    pts_sel = pts_obj.reshape(-1, 3)[idx]          # (K, 3)
+    de_ds_sel = de_ds.reshape(-1)[idx]             # (K,)
+    res_sel = jnp.repeat(res_ray[:, None], M, 1).reshape(-1)[idx]
+
+    _, ds_di = deepsdf.sdf_and_input_jacobian(
+        params, spec, code, pts_sel, compute_dtype
+    )
+    de_di = de_ds_sel[:, None] * ds_di             # (K, L+3)
+    de_dxo = de_di[:, -3:]
+    dxo_dT = lie.points_to_pose_jacobian_sim3(pts_sel)
+    jac_pose = jnp.einsum("ni,nij->nj", de_dxo, dxo_dT)
+    jac_code = de_di[:, :-3]
+    return RenderLossResult(jac_pose, jac_code, res_sel, live, n_valid)
+
+
+def compute_rotation_loss_sim3(t_obj_cam):
+    """Vertical-axis prior E = 1 − r_y · n_g (reference `loss.py:169-192`).
+
+    Returns (J_sim3 (7,), res scalar); both zero when already aligned.
+    """
+    t_cam_obj = lie.inv_sim3(t_obj_cam)
+    sR = t_cam_obj[:3, :3]
+    scale = jnp.cbrt(jnp.linalg.det(sR))
+    r_co = sR / scale
+    r_oc = r_co.T
+    ey = jnp.array([0.0, 1.0, 0.0])
+    ng = jnp.array([0.0, -1.0, 0.0])
+    ry = r_co @ ey
+    res = 1.0 - jnp.dot(ry, ng)
+    J_rot = jnp.cross(r_oc @ ng, ey)
+    J = jnp.zeros(7).at[3:6].set(J_rot)
+    zero = res < 1e-7
+    return jnp.where(zero, jnp.zeros(7), J), jnp.where(zero, 0.0, res)
