@@ -1,0 +1,179 @@
+"""Feature-frontend tests on synthetic images (SURVEY.md §4: FAST/BRIEF on
+synthetic images vs dense oracles)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_slam_rgbd_tpu.frontend import fast, matcher, orb, pyramid, stereo
+
+
+def checkerboard(h=120, w=160, sq=20, lo=50.0, hi=200.0):
+    y, x = np.mgrid[0:h, 0:w]
+    board = (((y // sq) + (x // sq)) % 2) * (hi - lo) + lo
+    return board.astype(np.float32)
+
+
+def corners_img(h=96, w=128, pts=((30, 40), (60, 90), (20, 100)), bright=250.0):
+    img = np.full((h, w), 30.0, np.float32)
+    for (y, x) in pts:
+        img[y : y + 8, x : x + 8] = bright  # bright square: corners at edges
+    return img
+
+
+def test_pyramid_shapes():
+    img = jnp.asarray(checkerboard())
+    levels = pyramid.build_pyramid(img)
+    assert len(levels) == 8
+    assert levels[0].shape == (120, 160)
+    assert levels[1].shape == (100, 133)
+
+
+def test_gaussian_blur_preserves_mean():
+    img = jnp.asarray(checkerboard())
+    out = pyramid.gaussian_blur(img)
+    assert out.shape == img.shape
+    np.testing.assert_allclose(float(out.mean()), float(img.mean()), rtol=0.01)
+
+
+def test_fast_detects_square_corners():
+    img = jnp.asarray(corners_img())
+    xy, score, valid = fast.detect(img, max_kp=64, threshold=20.0)
+    got = np.asarray(xy)[np.asarray(valid)]
+    # per-cell best keeps at most one corner per 16px cell; 3 squares with 4
+    # corners each yield at least 6 distinct cells
+    assert len(got) >= 6
+    # every detection lies near a square boundary (within 3 px of one of the
+    # 8x8 squares' corner points)
+    sq_corners = []
+    for (y, x) in ((30, 40), (60, 90), (20, 100)):
+        for dy in (0, 7):
+            for dx in (0, 7):
+                sq_corners.append((x + dx, y + dy))
+    sq_corners = np.asarray(sq_corners, np.float32)
+    d = np.linalg.norm(got[:, None, :] - sq_corners[None, :, :], axis=-1)
+    assert d.min(axis=1).max() < 4.0
+
+
+def test_fast_no_corners_on_flat():
+    img = jnp.full((64, 64), 100.0)
+    xy, score, valid = fast.detect(img, max_kp=32)
+    assert int(jnp.sum(valid)) == 0
+
+
+def test_orientation_rotation_consistency():
+    """Rotating the image by 90° shifts IC angles by ~90°."""
+    rng = np.random.default_rng(0)
+    patch = rng.uniform(0, 255, (31, 31)).astype(np.float32)
+    # smooth gradient patch with clear centroid direction
+    y, x = np.mgrid[-15:16, -15:16]
+    patch = (x * 4.0 + 128).astype(np.float32)
+    a0 = float(orb.orientations(jnp.asarray(patch)[None])[0])
+    patch90 = np.rot90(patch, k=-1).copy()  # rotate cw: gradient moves to +y
+    a1 = float(orb.orientations(jnp.asarray(patch90)[None])[0])
+    diff = (a1 - a0) % (2 * np.pi)
+    assert abs(diff - np.pi / 2) < 0.05
+
+
+def test_descriptor_invariance_to_rotation():
+    """The pipeline contract: descriptors computed at each patch's own IC
+    angle are stable under in-plane rotation of the patch (this is exactly
+    how `extract` uses orientations — convention-free)."""
+    rng = np.random.default_rng(1)
+    from scipy.ndimage import gaussian_filter, rotate
+
+    base = gaussian_filter(rng.uniform(0, 255, (61, 61)), 2.0).astype(
+        np.float32
+    )
+    patch = base[15:46, 15:46].copy()
+    rot_full = rotate(base, 35.0, reshape=False, order=1)
+    patch_rot = rot_full[15:46, 15:46].astype(np.float32)
+
+    a0 = orb.orientations(jnp.asarray(patch)[None])
+    a1 = orb.orientations(jnp.asarray(patch_rot)[None])
+    d0 = orb.descriptors(jnp.asarray(patch)[None], a0)
+    d1 = orb.descriptors(jnp.asarray(patch_rot)[None], a1)
+    dist = int(matcher.hamming_matrix(d0, d1)[0, 0])
+    assert dist < 60  # well under the ~128 expected for random pairs
+
+
+def test_extract_full_pipeline():
+    img = jnp.asarray(checkerboard(240, 320, sq=24))
+    cfg = orb.OrbConfig(n_features=500, n_levels=4)
+    feats = orb.extract(img, cfg)
+    n_valid = int(jnp.sum(feats.valid))
+    assert n_valid > 50
+    assert feats.desc.shape[1] == 8
+    assert feats.xy.shape[0] == feats.desc.shape[0]
+    # level-0 coords within image bounds
+    ok = np.asarray(feats.valid)
+    xy = np.asarray(feats.xy)[ok]
+    assert xy[:, 0].max() < 320 and xy[:, 1].max() < 240
+
+
+def test_matching_self():
+    """Features of an image match themselves 1:1 at distance 0."""
+    img = jnp.asarray(checkerboard(120, 160))
+    cfg = orb.OrbConfig(n_features=200, n_levels=2)
+    f = orb.extract(img, cfg)
+    m = matcher.match(f.desc, f.valid, f.desc, f.valid, max_dist=10)
+    ok = np.asarray(m.valid)
+    assert ok.sum() == int(jnp.sum(f.valid))
+    np.testing.assert_array_equal(
+        np.asarray(m.idx)[ok], np.arange(len(ok))[ok]
+    )
+
+
+def test_matching_translated():
+    """Features survive a small translation of the image."""
+    base = checkerboard(120, 160, sq=20)
+    rng = np.random.default_rng(2)
+    base += rng.normal(0, 3.0, base.shape).astype(np.float32)
+    shifted = np.roll(base, (0, 5), axis=(0, 1))
+    cfg = orb.OrbConfig(n_features=150, n_levels=2)
+    fa = orb.extract(jnp.asarray(base), cfg)
+    fb = orb.extract(jnp.asarray(shifted), cfg)
+    mask = matcher.radius_mask(fa.xy, fb.xy, 12.0)
+    m = matcher.match(fa.desc, fa.valid, fb.desc, fb.valid, mask=mask,
+                      max_dist=matcher.TH_LOW)
+    ok = np.asarray(m.valid)
+    assert ok.sum() >= 10
+    # matched pairs displaced by ≈ (5, 0)
+    dx = np.asarray(fb.xy)[np.asarray(m.idx)[ok], 0] - np.asarray(fa.xy)[ok, 0]
+    assert np.abs(np.median(dx) - 5.0) < 1.5
+
+
+def test_stereo_matching_synthetic():
+    """Right image = left shifted by a constant disparity."""
+    rng = np.random.default_rng(3)
+    left = checkerboard(120, 160, sq=15) + rng.normal(
+        0, 4.0, (120, 160)
+    ).astype(np.float32)
+    disp = 8.0
+    right = np.roll(left, -int(disp), axis=1)
+    cfg = orb.OrbConfig(n_features=150, n_levels=2)
+    fl = orb.extract(jnp.asarray(left), cfg)
+    fr = orb.extract(jnp.asarray(right), cfg)
+    bf = 40.0
+    sm = stereo.match_stereo(fl, fr, jnp.asarray(left), jnp.asarray(right),
+                             bf=bf, min_z=bf / 40.0)
+    ok = np.asarray(sm.valid)
+    assert ok.sum() >= 10
+    est_disp = np.asarray(fl.xy)[ok, 0] - np.asarray(sm.u_right)[ok]
+    assert abs(np.median(est_disp) - disp) < 1.0
+    depths = np.asarray(sm.depth)[ok]
+    assert abs(np.median(depths) - bf / disp) < 1.0
+
+
+def test_rgbd_depth_to_stereo():
+    img = jnp.asarray(checkerboard())
+    cfg = orb.OrbConfig(n_features=100, n_levels=2)
+    f = orb.extract(img, cfg)
+    depth_map = jnp.full(img.shape, 3.0)
+    sm = stereo.depth_to_stereo(f, depth_map, bf=40.0)
+    ok = np.asarray(sm.valid)
+    assert ok.sum() == int(jnp.sum(f.valid))
+    np.testing.assert_allclose(np.asarray(sm.depth)[ok], 3.0)
+    ur = np.asarray(sm.u_right)[ok]
+    np.testing.assert_allclose(
+        np.asarray(f.xy)[ok, 0] - ur, 40.0 / 3.0, atol=1e-4
+    )
