@@ -63,6 +63,7 @@ class RenderLossResult(NamedTuple):
 def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
                         sampled_depths, code, th: float = 0.01,
                         max_grad_points: int = 2048,
+                        max_valid_samples: int = 8192,
                         compute_dtype=jnp.float32) -> RenderLossResult:
     """Depth-rendering term via ray termination probabilities.
 
@@ -87,9 +88,24 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
     pts_obj = lie.transform_points(t_obj_cam, pts_cam.reshape(-1, 3)).reshape(R, M, 3)
 
     valid = (jnp.linalg.norm(pts_obj, axis=-1) < 1.0) & ray_mask[:, None]
-    sdf_vals = deepsdf.sdf(
-        params, spec, code, pts_obj.reshape(-1, 3), compute_dtype
+
+    # The decoder only needs evaluation where ‖x‖ < 1 — typically ~10-20% of
+    # the R·M samples.  Compact those to a static capacity before the value
+    # pass (3-5x FLOP cut on the dominant term); valid samples beyond
+    # capacity are treated as empty space (cap >> typical counts).
+    flat_valid = valid.reshape(-1)
+    (idx_val,) = jnp.nonzero(flat_valid, size=max_valid_samples,
+                             fill_value=R * M)
+    pts_flat = pts_obj.reshape(-1, 3)
+    pts_val = pts_flat[jnp.minimum(idx_val, R * M - 1)]
+    sdf_val = deepsdf.sdf(params, spec, code, pts_val, compute_dtype)
+    sdf_vals = (
+        jnp.zeros(R * M + 1).at[idx_val].set(sdf_val, mode="drop")[:-1]
     ).reshape(R, M)
+    covered = (
+        jnp.zeros(R * M + 1, bool).at[idx_val].set(True, mode="drop")[:-1]
+    ).reshape(R, M)
+    valid = valid & covered
     occ = jnp.where(valid, sdf_to_occupancy(sdf_vals, th), 0.0)  # (R, M)
 
     d_min, d_max = sampled_depths[0], sampled_depths[-1]

@@ -44,7 +44,8 @@ class ReconConfig(NamedTuple):
     learning_rate: float = 1.0
     scale_damping: float = 1.0
     pose_only_iterations: int = 5
-    max_grad_points: int = 2048  # render-term compaction capacity
+    max_grad_points: int = 2048     # render-term Jacobian compaction capacity
+    max_valid_samples: int = 8192   # render-term value-pass compaction capacity
 
 
 class ReconResult(NamedTuple):
@@ -92,6 +93,7 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
         ren = losses.compute_render_loss(
             params, spec, rays, ray_mask, depth_eff, t_obj_cam, sampled, code,
             th=cfg.cut_off_threshold, max_grad_points=cfg.max_grad_points,
+            max_valid_samples=cfg.max_valid_samples,
             compute_dtype=compute_dtype,
         )
         rr_ren, ren_loss, _ = robust.robust_residuals(ren.res, cfg.b1, ren.mask)
