@@ -1,0 +1,276 @@
+"""Bundle adjustment: batched Schur-complement Gauss-Newton.
+
+The TPU-native replacement for the reference's g2o solvers
+(`src/Optimizer.cc` / `Optimizer_util.cc`):
+
+  * `local_ba` covers LocalBundleAdjustment / LocalJointBundleAdjustment
+    (`Optimizer_util.cc:309-771`): KF SE(3) vertices + marginalized point
+    vertices + object SE(3) vertices with relative-pose edges
+    (`ObjectPoseGraph.h` semantics: error = log(Z⁻¹·T_cw·T_wo), information
+    1e3·I₆, Huber δ=√(0.10·1e3)), fixed-frontier keyframes, two-stage
+    optimization with χ² outlier gating between stages (:647-657);
+  * `global_ba` covers GlobalBundleAdjustemnt/JointBA over all keyframes.
+
+Design: observations are COO triplets with static capacity and masks.  Point
+blocks are marginalized in closed form (batched 3x3 solves); the reduced
+system couples KF and object pose blocks and is solved densely — the local
+window is small (≤ ~32 poses → ≤ 192x192).  Outlier gating is a mask update
+between jitted stages, exactly like the reference's two rounds.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dsp_slam_rgbd_tpu.ops import camera as cam_ops
+from dsp_slam_rgbd_tpu.ops import lie
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+OBJ_INFO = 1.0e3                 # information of object edges (1e3·I6)
+OBJ_HUBER = jnp.sqrt(0.10 * 1.0e3)   # Huber δ (reference :80-84)
+OBJ_CHI2_PRUNE = 1.0e3           # object-edge prune threshold (:647-657)
+
+
+class BAProblem(NamedTuple):
+    """Static-capacity BA problem. K poses, P points, O objects."""
+    kf_pose: jnp.ndarray      # (K, 4, 4) T_cw
+    kf_fixed: jnp.ndarray     # (K,) bool — fixed frontier / first KF
+    kf_valid: jnp.ndarray     # (K,) bool
+    pts: jnp.ndarray          # (P, 3) world
+    pt_valid: jnp.ndarray     # (P,) bool
+    # reprojection edges (N,)
+    obs_kf: jnp.ndarray       # (N,) int32 -> K
+    obs_pt: jnp.ndarray       # (N,) int32 -> P
+    obs_uv: jnp.ndarray       # (N, 3) (u, v, uR); uR = −1 for mono edges
+    obs_info: jnp.ndarray     # (N,) 1/σ² per edge
+    obs_mask: jnp.ndarray     # (N,) bool
+    # object pose edges (M,)
+    obj_pose: jnp.ndarray     # (O, 4, 4) T_wo (world→object? see note)
+    obj_valid: jnp.ndarray    # (O,) bool
+    oobs_kf: jnp.ndarray      # (M,) int32 -> K
+    oobs_obj: jnp.ndarray     # (M,) int32 -> O
+    oobs_t_co: jnp.ndarray    # (M, 4, 4) measured camera→object SE(3)
+    oobs_mask: jnp.ndarray    # (M,) bool
+
+
+class BAResult(NamedTuple):
+    kf_pose: jnp.ndarray
+    pts: jnp.ndarray
+    obj_pose: jnp.ndarray
+    obs_mask: jnp.ndarray     # post-gating reprojection inliers
+    oobs_mask: jnp.ndarray    # post-gating object edges
+    cost: jnp.ndarray
+
+
+def _reproj_terms(cam, prob: BAProblem):
+    """Per-edge residuals/Jacobians for current state.
+
+    Returns res (N, 3), J_c (N, 3, 6), J_p (N, 3, 3), w_dim (N, 3) row mask
+    (third row zeroed for mono edges).
+    """
+    Tk = prob.kf_pose[prob.obs_kf]          # (N, 4, 4)
+    pw = prob.pts[prob.obs_pt]              # (N, 3)
+    pc = jnp.einsum("nij,nj->ni", Tk[:, :3, :3], pw) + Tk[:, :3, 3]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    zi = 1.0 / jnp.maximum(z, 1e-6)
+    zi2 = zi * zi
+    u = cam.fx * x * zi + cam.cx
+    v = cam.fy * y * zi + cam.cy
+    ur = u - cam.bf * zi
+    pred = jnp.stack([u, v, ur], axis=-1)
+    res = pred - prob.obs_uv
+    stereo = prob.obs_uv[:, 2] >= 0.0
+    row_mask = jnp.stack(
+        [jnp.ones_like(stereo), jnp.ones_like(stereo), stereo], -1
+    ).astype(jnp.float32)
+    res = res * row_mask
+
+    du = jnp.stack([cam.fx * zi, jnp.zeros_like(z), -cam.fx * x * zi2], -1)
+    dv = jnp.stack([jnp.zeros_like(z), cam.fy * zi, -cam.fy * y * zi2], -1)
+    dur = du + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf * zi2], -1
+    )
+    dpred_dpc = jnp.stack([du, dv, dur], axis=-2)  # (N, 3, 3)
+    dpred_dpc = dpred_dpc * row_mask[..., None]
+    Jc = jnp.einsum("ndk,nkj->ndj", dpred_dpc,
+                    lie.points_to_pose_jacobian_se3(pc))  # (N, 3, 6)
+    Jp = jnp.einsum("ndk,nkj->ndj", dpred_dpc, Tk[:, :3, :3])  # (N, 3, 3)
+    return res, Jc, Jp, row_mask
+
+
+def _object_terms(prob: BAProblem):
+    """Object relative-pose edges: e = log(Z⁻¹ · T_cw · T_wo) ∈ se(3).
+
+    Convention: obj_pose = T_wo (object frame → world), so
+    T_co_est = T_cw @ T_wo and e = log(Z⁻¹ · T_co_est); Jacobians wrt left
+    perturbations of T_cw and of T_wo (right-perturbation pulled to left via
+    adjoints, matching `ObjectPoseGraph.h:75-88`'s adjoint structure).
+    """
+    Tk = prob.kf_pose[prob.oobs_kf]         # (M, 4, 4) T_cw
+    To = prob.obj_pose[prob.oobs_obj]       # (M, 4, 4) T_wo
+    Z = prob.oobs_t_co                       # (M, 4, 4)
+    T_co = jnp.einsum("nij,njk->nik", Tk, To)
+    E = jnp.einsum("nij,njk->nik", jax.vmap(lie.inv_se3)(Z), T_co)
+    e = jax.vmap(lie.log_se3)(E)            # (M, 6)
+    # J wrt ξ_k (left pert of T_cw): d log(Z⁻¹ exp(ξ) T_co) ≈ J_l⁻¹ Ad(Z⁻¹) ξ
+    # ≈ Ad(Z⁻¹) for small e (reference uses the same first-order adjoint
+    # approximation with J_l⁻¹ ≈ I).
+    Ad_Zinv = jax.vmap(lie.adjoint_se3)(jax.vmap(lie.inv_se3)(Z))  # (M, 6, 6)
+    Jk = Ad_Zinv
+    # J wrt η (left pert of T_wo): T_cw exp(η) T_wo = exp(Ad(T_cw) η) T_co
+    Ad_k = jax.vmap(lie.adjoint_se3)(Tk)
+    Jo = jnp.einsum("nij,njk->nik", Ad_Zinv, Ad_k)
+    return e, Jk, Jo
+
+
+def _assemble_and_solve(cam, prob: BAProblem, damping: float):
+    """One GN step over (K+O) pose blocks with marginalized points."""
+    K = prob.kf_pose.shape[0]
+    P = prob.pts.shape[0]
+    O = prob.obj_pose.shape[0]
+    B = K + O  # pose-block count
+
+    res, Jc, Jp, row_mask = _reproj_terms(cam, prob)
+    # robust weight (Huber on χ²), edge weight
+    chi2 = jnp.sum(res * res, -1) * prob.obs_info
+    en = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    stereo = prob.obs_uv[:, 2] >= 0.0
+    delta = jnp.where(stereo, jnp.sqrt(CHI2_STEREO), jnp.sqrt(CHI2_MONO))
+    w_rob = jnp.where(en <= delta, 1.0, delta / en)
+    w = prob.obs_info * w_rob * prob.obs_mask
+    w = w * prob.pt_valid[prob.obs_pt] * prob.kf_valid[prob.obs_kf]
+
+    # accumulate blocks
+    Hcc = jnp.zeros((B, 6, 6))
+    bc = jnp.zeros((B, 6))
+    Hpp = jnp.zeros((P, 3, 3))
+    bp = jnp.zeros((P, 3))
+    Hcp = jnp.zeros((B, P, 6, 3))
+
+    JcT_Jc = jnp.einsum("ndi,ndj,n->nij", Jc, Jc, w)
+    JpT_Jp = jnp.einsum("ndi,ndj,n->nij", Jp, Jp, w)
+    JcT_Jp = jnp.einsum("ndi,ndj,n->nij", Jc, Jp, w)
+    JcT_r = jnp.einsum("ndi,nd,n->ni", Jc, res, w)
+    JpT_r = jnp.einsum("ndi,nd,n->ni", Jp, res, w)
+
+    Hcc = Hcc.at[prob.obs_kf].add(JcT_Jc)
+    bc = bc.at[prob.obs_kf].add(-JcT_r)
+    Hpp = Hpp.at[prob.obs_pt].add(JpT_Jp)
+    bp = bp.at[prob.obs_pt].add(-JpT_r)
+    Hcp = Hcp.at[prob.obs_kf, prob.obs_pt].add(JcT_Jp)
+
+    # object edges (couple pose blocks k and K+o: both land in the reduced
+    # system directly)
+    e_o, Jk_o, Jo_o = _object_terms(prob)
+    chi2_o = OBJ_INFO * jnp.sum(e_o * e_o, -1)
+    en_o = jnp.sqrt(jnp.maximum(chi2_o, 1e-12))
+    w_rob_o = jnp.where(en_o <= OBJ_HUBER, 1.0, OBJ_HUBER / en_o)
+    w_o = OBJ_INFO * w_rob_o * prob.oobs_mask \
+        * prob.obj_valid[prob.oobs_obj] * prob.kf_valid[prob.oobs_kf]
+
+    S = jnp.zeros((B, B, 6, 6))
+    kk = jnp.einsum("ndi,ndj,n->nij", Jk_o, Jk_o, w_o)
+    oo = jnp.einsum("ndi,ndj,n->nij", Jo_o, Jo_o, w_o)
+    ko = jnp.einsum("ndi,ndj,n->nij", Jk_o, Jo_o, w_o)
+    Hcc = Hcc.at[prob.oobs_kf].add(kk)
+    Hcc = Hcc.at[K + prob.oobs_obj].add(oo)
+    S = S.at[prob.oobs_kf, K + prob.oobs_obj].add(ko)
+    S = S.at[K + prob.oobs_obj, prob.oobs_kf].add(
+        jnp.swapaxes(ko, -1, -2)
+    )
+    bc = bc.at[prob.oobs_kf].add(-jnp.einsum("ndi,nd->ni", Jk_o, e_o * w_o[:, None]))
+    bc = bc.at[K + prob.oobs_obj].add(-jnp.einsum("ndi,nd->ni", Jo_o, e_o * w_o[:, None]))
+
+    # marginalize points: S −= Hcp Hpp⁻¹ Hcpᵀ ; bc −= Hcp Hpp⁻¹ bp
+    eye3 = jnp.eye(3)
+    pt_live = prob.pt_valid
+    Hpp_d = Hpp + 1e-6 * eye3
+    Hpp_d = jnp.where(pt_live[:, None, None], Hpp_d, eye3)
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    HcpHinv = jnp.einsum("bpij,pjk->bpik", Hcp, Hpp_inv)  # (B, P, 6, 3)
+    S = S - jnp.einsum("bpik,cpjk->bcij", HcpHinv, Hcp)
+    bc_red = bc - jnp.einsum("bpik,pk->bi", HcpHinv, bp)
+    # diagonal blocks carry the unary Hcc terms
+    S = S.at[jnp.arange(B), jnp.arange(B)].add(Hcc)
+
+    # fix poses: fixed KFs and invalid blocks get identity rows (no update)
+    fixed = jnp.concatenate(
+        [prob.kf_fixed | ~prob.kf_valid, ~prob.obj_valid], axis=0
+    )  # (B,)
+    Sd = S.transpose(0, 2, 1, 3).reshape(B * 6, B * 6)
+    bflat = bc_red.reshape(B * 6)
+    fix6 = jnp.repeat(fixed, 6)
+    Sd = jnp.where(fix6[:, None] | fix6[None, :], 0.0, Sd)
+    Sd = Sd + jnp.diag(jnp.where(fix6, 1.0, damping))
+    bflat = jnp.where(fix6, 0.0, bflat)
+
+    dx = jnp.linalg.solve(Sd, bflat)
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(B, 6)
+
+    # back-substitute points: dp = Hpp⁻¹ (bp − Hcpᵀ dc)
+    dc_kf = dx[:K]
+    Hcp_dc = jnp.einsum("bpik,bi->pk", Hcp, dx)
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - Hcp_dc)
+    dp = jnp.where(pt_live[:, None], dp, 0.0)
+
+    # apply updates
+    new_kf = jax.vmap(lambda d, T: lie.exp_se3(d) @ T)(dc_kf, prob.kf_pose)
+    new_obj = jax.vmap(lambda d, T: lie.exp_se3(d) @ T)(dx[K:], prob.obj_pose)
+    new_pts = prob.pts + dp
+
+    live = prob.obs_mask & (prob.pt_valid[prob.obs_pt]) \
+        & prob.kf_valid[prob.obs_kf]
+    cost = jnp.sum(jnp.where(live, chi2, 0.0)) \
+        + jnp.sum(jnp.where(prob.oobs_mask, chi2_o, 0.0))
+    return prob._replace(kf_pose=new_kf, obj_pose=new_obj, pts=new_pts), cost
+
+
+def _gate(cam, prob: BAProblem):
+    """χ² outlier gating of both edge types (reference :647-736)."""
+    res, _, _, _ = _reproj_terms(cam, prob)
+    chi2 = jnp.sum(res * res, -1) * prob.obs_info
+    stereo = prob.obs_uv[:, 2] >= 0.0
+    th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
+    # positive depth requirement as in the reference
+    Tk = prob.kf_pose[prob.obs_kf]
+    pc = jnp.einsum("nij,nj->ni", Tk[:, :3, :3], prob.pts[prob.obs_pt]) \
+        + Tk[:, :3, 3]
+    obs_mask = prob.obs_mask & (chi2 <= th) & (pc[:, 2] > 0)
+
+    e_o, _, _ = _object_terms(prob)
+    chi2_o = OBJ_INFO * jnp.sum(e_o * e_o, -1)
+    oobs_mask = prob.oobs_mask & (chi2_o <= OBJ_CHI2_PRUNE)
+    return prob._replace(obs_mask=obs_mask, oobs_mask=oobs_mask)
+
+
+@partial(jax.jit, static_argnames=("cam", "stage1_iters", "stage2_iters"))
+def local_ba(cam, prob: BAProblem, stage1_iters: int = 5,
+             stage2_iters: int = 10, damping: float = 1e-4) -> BAResult:
+    """Two-stage robust BA (reference `LocalJointBundleAdjustment`
+    :309-771: 5 iters → gate outliers → 10 iters → final gate)."""
+
+    def run(prob, n):
+        def body(i, carry):
+            p, c = carry
+            p2, cost = _assemble_and_solve(cam, p, damping)
+            return (p2, cost)
+
+        return jax.lax.fori_loop(0, n, body, (prob, jnp.asarray(0.0)))
+
+    prob, _ = run(prob, stage1_iters)
+    prob = _gate(cam, prob)
+    prob, cost = run(prob, stage2_iters)
+    prob = _gate(cam, prob)
+    return BAResult(prob.kf_pose, prob.pts, prob.obj_pose, prob.obs_mask,
+                    prob.oobs_mask, cost)
+
+
+def global_ba(cam, prob: BAProblem, n_iters: int = 20, damping: float = 1e-4):
+    """Global (joint) BA — same machinery over the full problem
+    (reference `GlobalJointBundleAdjustemnt` `Optimizer_util.cc:36-42`)."""
+    return local_ba(cam, prob, stage1_iters=n_iters // 2,
+                    stage2_iters=n_iters - n_iters // 2, damping=damping)

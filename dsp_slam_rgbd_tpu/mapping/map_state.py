@@ -1,0 +1,126 @@
+"""SLAM map state as fixed-capacity struct-of-arrays pytrees.
+
+The TPU-native replacement for the reference's pointer-graph map
+(`src/Map.cc`, `KeyFrame.cc`, `MapPoint.cc`, `MapObject.cc` with per-entity
+mutexes): all state lives in HBM as padded arrays with validity masks; every
+mutation is a functional update returning a new state (no locks — SURVEY.md
+§2.4/§7 design stance).  Capacities are static so nothing recompiles as the
+map grows.
+
+Slot allocation runs on host (tracking is host-driven anyway): `alloc_slots`
+returns free indices; culling just clears valid bits (`SetBadFlag` role).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_pose: jnp.ndarray       # (K, 4, 4) T_cw
+    kf_valid: jnp.ndarray      # (K,) bool
+    kf_frame_id: jnp.ndarray   # (K,) int32 source frame index
+    # per-KF features
+    kf_xy: jnp.ndarray         # (K, F, 2)
+    kf_level: jnp.ndarray      # (K, F) int32
+    kf_desc: jnp.ndarray       # (K, F, 8) uint32
+    kf_ur: jnp.ndarray         # (K, F) right coord (−1 mono)
+    kf_feat_valid: jnp.ndarray # (K, F) bool
+    kf_feat_pt: jnp.ndarray    # (K, F) int32 -> point slot or −1
+    # --- map points ---
+    pt_pos: jnp.ndarray        # (P, 3)
+    pt_valid: jnp.ndarray      # (P,) bool
+    pt_desc: jnp.ndarray       # (P, 8) uint32 distinctive descriptor
+    pt_normal: jnp.ndarray     # (P, 3) mean viewing direction
+    pt_min_d: jnp.ndarray      # (P,) scale-invariance range
+    pt_max_d: jnp.ndarray
+    pt_ref_kf: jnp.ndarray     # (P,) int32 reference KF
+    pt_visible: jnp.ndarray    # (P,) int32 counters (found/visible ratio)
+    pt_found: jnp.ndarray
+    pt_first_kf: jnp.ndarray   # (P,) int32 for culling age
+    pt_object: jnp.ndarray     # (P,) int32 owning object slot or −1 (fork's
+                               # object_id / in_any_object, MapPoint_util.cc)
+    # --- objects ---
+    obj_pose: jnp.ndarray      # (O, 4, 4) T_wo SE(3)
+    obj_scale: jnp.ndarray     # (O,)
+    obj_code: jnp.ndarray      # (O, L) shape codes
+    obj_valid: jnp.ndarray     # (O,) bool
+    obj_dynamic: jnp.ndarray   # (O,) bool
+    obj_velocity: jnp.ndarray  # (O, 3)
+    obj_n_obs: jnp.ndarray     # (O,) int32
+    obj_last_kf: jnp.ndarray   # (O,) int32
+    # object-KF relative pose observations (ring buffer per object)
+    oobs_kf: jnp.ndarray       # (Q,) int32 KF slot
+    oobs_obj: jnp.ndarray      # (Q,) int32 object slot
+    oobs_t_co: jnp.ndarray     # (Q, 4, 4) measured T_co
+    oobs_valid: jnp.ndarray    # (Q,) bool
+
+    @property
+    def max_kf(self):
+        return self.kf_pose.shape[0]
+
+
+def empty(max_kf: int = 64, max_feat: int = 1024, max_pts: int = 8192,
+          max_obj: int = 16, code_len: int = 64, max_oobs: int = 256
+          ) -> MapState:
+    K, F, P, O, Q = max_kf, max_feat, max_pts, max_obj, max_oobs
+    eye = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
+    return MapState(
+        kf_pose=jnp.asarray(eye),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.full(K, -1, jnp.int32),
+        kf_xy=jnp.zeros((K, F, 2)),
+        kf_level=jnp.zeros((K, F), jnp.int32),
+        kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
+        kf_ur=jnp.full((K, F), -1.0),
+        kf_feat_valid=jnp.zeros((K, F), bool),
+        kf_feat_pt=jnp.full((K, F), -1, jnp.int32),
+        pt_pos=jnp.zeros((P, 3)),
+        pt_valid=jnp.zeros(P, bool),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3)),
+        pt_min_d=jnp.zeros(P),
+        pt_max_d=jnp.full(P, jnp.inf),
+        pt_ref_kf=jnp.full(P, -1, jnp.int32),
+        pt_visible=jnp.ones(P, jnp.int32),
+        pt_found=jnp.ones(P, jnp.int32),
+        pt_first_kf=jnp.full(P, -1, jnp.int32),
+        pt_object=jnp.full(P, -1, jnp.int32),
+        obj_pose=jnp.broadcast_to(jnp.eye(4), (O, 4, 4)),
+        obj_scale=jnp.ones(O),
+        obj_code=jnp.zeros((O, code_len)),
+        obj_valid=jnp.zeros(O, bool),
+        obj_dynamic=jnp.zeros(O, bool),
+        obj_velocity=jnp.zeros((O, 3)),
+        obj_n_obs=jnp.zeros(O, jnp.int32),
+        obj_last_kf=jnp.full(O, -1, jnp.int32),
+        oobs_kf=jnp.full(Q, -1, jnp.int32),
+        oobs_obj=jnp.full(Q, -1, jnp.int32),
+        oobs_t_co=jnp.broadcast_to(jnp.eye(4), (Q, 4, 4)),
+        oobs_valid=jnp.zeros(Q, bool),
+    )
+
+
+def alloc_slots(valid_mask: np.ndarray, n: int) -> np.ndarray:
+    """Host-side: first n free slot indices (−1 padding if full)."""
+    free = np.nonzero(~np.asarray(valid_mask))[0]
+    out = np.full(n, -1, np.int64)
+    out[: min(n, len(free))] = free[:n]
+    return out
+
+
+def membership_matrix(state: MapState) -> jnp.ndarray:
+    """(K, P) bool: KF k observes point p.  Built by scatter from the
+    per-KF feature→point table; the base for covisibility (M @ Mᵀ)."""
+    K, F = state.kf_feat_pt.shape
+    P = state.pt_pos.shape[0]
+    kf_idx = jnp.repeat(jnp.arange(K), F)
+    pt_idx = state.kf_feat_pt.reshape(-1)
+    ok = (pt_idx >= 0) & state.kf_feat_valid.reshape(-1)
+    pt_safe = jnp.where(ok, pt_idx, P)
+    M = jnp.zeros((K, P + 1), bool).at[kf_idx, pt_safe].max(ok)
+    return M[:, :P] & state.kf_valid[:, None] & state.pt_valid[None, :]

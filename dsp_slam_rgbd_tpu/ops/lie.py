@@ -42,6 +42,13 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+def _safe_norm(w: jnp.ndarray) -> jnp.ndarray:
+    """‖w‖ with a finite gradient at w = 0 (jnp.linalg.norm has a NaN
+    gradient there, which poisons jacfwd/jacrev through exp maps)."""
+    sq = jnp.sum(w * w, axis=-1)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+
 def _sinc_coeffs(theta):
     """Return (sin θ/θ, (1-cos θ)/θ², (θ-sin θ)/θ³) with Taylor fallbacks."""
     small = theta < 1e-5
@@ -55,7 +62,7 @@ def _sinc_coeffs(theta):
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (…, 3) -> (…, 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     a, b, _ = _sinc_coeffs(theta)
     W = hat(w)
     W2 = W @ W
@@ -65,7 +72,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian J of SO(3): exp_se3 translation = J @ v."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     _, b, c = _sinc_coeffs(theta)
     W = hat(w)
     W2 = W @ W
@@ -82,14 +89,22 @@ def exp_se3(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) log map: (…, 3, 3) -> (…, 3). Valid for θ < π."""
-    cos_theta = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    small = theta < 1e-5
-    safe = jnp.where(small, 1.0, theta)
-    # θ / (2 sin θ), Taylor: 1/2 + θ²/12
-    k = jnp.where(small, 0.5 + theta * theta / 12.0, safe / (2.0 * jnp.sin(safe)))
-    return k[..., None] * vee(R - jnp.swapaxes(R, -1, -2))
+    """SO(3) log map: (…, 3, 3) -> (…, 3). Valid for θ < π.
+
+    Uses the arctan2 form (sin θ from the skew part, cos θ from the trace)
+    instead of arccos — arccos has an infinite derivative at θ = 0, which
+    would poison autodiff through pose-graph residuals.
+    """
+    v = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin θ · axis
+    sin_theta = _safe_norm(v)
+    cos_theta = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) * 0.5,
+                         -1.0, 1.0)
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    small = sin_theta < 1e-5
+    safe_sin = jnp.where(small, 1.0, sin_theta)
+    # w = θ/sin θ · v ; Taylor θ/sinθ ≈ 1 + θ²/6
+    k = jnp.where(small, 1.0 + theta * theta / 6.0, theta / safe_sin)
+    return k[..., None] * v
 
 
 def log_se3(T: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +117,7 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
 
 
 def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     small = theta < 1e-5
     safe = jnp.where(small, 1.0, theta)
     half = safe * 0.5
@@ -125,7 +140,7 @@ def exp_sim3(x: jnp.ndarray) -> jnp.ndarray:
     matrix (same closed form as reference `loss_utils.py:198-243`).
     """
     v, w, s = x[..., :3], x[..., 3:6], x[..., 6]
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     e_s = jnp.exp(s)
     R = exp_so3(w)
 
@@ -176,7 +191,7 @@ def log_sim3(T: jnp.ndarray) -> jnp.ndarray:
     w = log_so3(R)
 
     # Rebuild the Sim(3) J matrix and invert it to recover v.
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     s_small = jnp.abs(s) < 1e-5
     safe_s = jnp.where(s_small, 1.0, s)
     c = jnp.where(s_small, 1.0 + s / 2.0 + s * s / 6.0, (e_s - 1.0) / safe_s)
