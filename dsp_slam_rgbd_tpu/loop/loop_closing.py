@@ -1,0 +1,233 @@
+"""Loop closing: detection consistency, Sim(3) computation, correction.
+
+Covers `LoopClosing` (`src/LoopClosing.cc` + `_util.cc`):
+
+  * `check_consistency` — the consecutive-detection consistency groups of
+    `DetectLoop` (:113): a candidate must be re-detected in ≥3 consecutive
+    keyframes (group overlap tracked host-side);
+  * `compute_loop_sim3` — `ComputeSim3` (:241): descriptor matches between
+    query and candidate KF features, 3D-3D correspondences from their
+    associated map points, Sim3Solver RANSAC + refinement;
+  * `correct_loop` — `CorrectLoopWithObjects` (`LoopClosing_util.cc:28`):
+    propagate the corrective Sim(3) to the query's covisible group, remap
+    their map points AND map objects, then essential-graph optimization;
+    global joint BA runs after (caller's choice, as the reference spawns it
+    in a thread).
+
+Map-state mutations are functional; the host drives the sequencing.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_slam_rgbd_tpu.frontend import matcher
+from dsp_slam_rgbd_tpu.mapping import covisibility as covis
+from dsp_slam_rgbd_tpu.mapping import map_state as ms
+from dsp_slam_rgbd_tpu.mapping import pose_graph
+from dsp_slam_rgbd_tpu.ops import lie
+from dsp_slam_rgbd_tpu.solvers import sim3 as sim3_mod
+
+
+class ConsistencyState:
+    """Host-side consecutive-detection bookkeeping (reference
+    `mvConsistentGroups`)."""
+
+    def __init__(self, min_consistency: int = 3):
+        self.groups: list[tuple[set, int]] = []  # (kf set, count)
+        self.min_consistency = min_consistency
+
+    def update(self, candidate_groups: list[set]) -> list[int]:
+        """Feed this keyframe's candidate groups (each a set of KF slots);
+        returns candidate KFs that reached the consistency threshold."""
+        new_groups = []
+        consistent = []
+        for grp in candidate_groups:
+            count = 0
+            for prev, prev_count in self.groups:
+                if grp & prev:
+                    count = max(count, prev_count + 1)
+            new_groups.append((grp, count))
+            if count >= self.min_consistency:
+                consistent.extend(sorted(grp))
+        self.groups = new_groups
+        return consistent
+
+
+def candidate_groups(state: ms.MapState, cand_mask: np.ndarray) -> list[set]:
+    """Expand each candidate into its covisible group (host)."""
+    W = np.asarray(covis.covisibility_matrix(state))
+    groups = []
+    for k in np.nonzero(np.asarray(cand_mask))[0]:
+        grp = set(np.nonzero(W[k] >= covis.MIN_WEIGHT)[0].tolist()) | {int(k)}
+        groups.append(grp)
+    return groups
+
+
+def compute_loop_sim3(state: ms.MapState, cam, kf_q: int, kf_c: int, key,
+                      fix_scale: bool = True):
+    """Match features between two keyframes, lift to 3D-3D via their map
+    points, and solve Sim(3).  Returns sim3_mod.Sim3Result with t_21 mapping
+    candidate-camera coords into query-camera coords (the reference's Scm)."""
+    dq = state.kf_desc[kf_q]
+    dc = state.kf_desc[kf_c]
+    vq = state.kf_feat_valid[kf_q] & (state.kf_feat_pt[kf_q] >= 0)
+    vc = state.kf_feat_valid[kf_c] & (state.kf_feat_pt[kf_c] >= 0)
+    m = matcher.match(dq, vq, dc, vc, max_dist=matcher.TH_LOW, mutual=True)
+
+    pt_q = state.kf_feat_pt[kf_q]
+    pt_c = state.kf_feat_pt[kf_c][jnp.maximum(m.idx, 0)]
+    ok = m.valid & (pt_q >= 0) & (pt_c >= 0)
+    ok = ok & state.pt_valid[jnp.maximum(pt_q, 0)] \
+        & state.pt_valid[jnp.maximum(pt_c, 0)]
+
+    # 3D points in each camera frame
+    pw_q = state.pt_pos[jnp.maximum(pt_q, 0)]
+    pw_c = state.pt_pos[jnp.maximum(pt_c, 0)]
+    p_q = lie.transform_points(state.kf_pose[kf_q], pw_q)
+    p_c = lie.transform_points(state.kf_pose[kf_c], pw_c)
+    uv_q = state.kf_xy[kf_q]
+    uv_c = state.kf_xy[kf_c][jnp.maximum(m.idx, 0)]
+
+    return sim3_mod.solve_sim3_ransac(
+        cam, cam, p_c, p_q, uv_c, uv_q, jnp.ones(p_c.shape[0]),
+        jnp.ones(p_q.shape[0]), ok, key, fix_scale=fix_scale,
+    )
+
+
+def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
+                 t_qc_corrected: jnp.ndarray, fix_scale: bool = True,
+                 pg_iters: int = 20) -> ms.MapState:
+    """Propagate the loop correction and optimize the essential graph.
+
+    t_qc_corrected: Sim(3) mapping candidate-camera coords to query-camera
+    coords (output of compute_loop_sim3).  The corrected query pose is
+    S_qw_corr = t_qc_corrected · T_cand_cw; the correction
+    ΔS = S_corr · S_old⁻¹ is applied to the query's covisible group and
+    their points/objects (reference `LoopClosing_util.cc:92-152`), then the
+    pose graph is optimized with the loop edge added.
+    """
+    K = state.kf_pose.shape[0]
+    W = covis.covisibility_matrix(state)
+    group = (W[kf_q] >= covis.MIN_WEIGHT) & state.kf_valid
+    group = group.at[kf_q].set(True)
+    # the loop candidate anchors the correction and is never part of the
+    # warped group (in the reference it cannot be covisibility-connected to
+    # the current KF before fusion)
+    group = group.at[kf_c].set(False)
+
+    S_old = state.kf_pose[kf_q]
+    S_corr = t_qc_corrected @ state.kf_pose[kf_c]
+    delta = S_corr @ lie.inv_sim3(S_old)  # world-side correction (Sim3)
+
+    # correct group poses: S_new = S_old_k · Δ⁻¹?  — poses are T_cw; a
+    # world-frame warp w ↦ Δ·w means T_cw ↦ T_cw · Δ⁻¹ for non-group KFs to
+    # keep projections fixed; the reference instead moves the group INTO the
+    # corrected frame: T_k_corr = T_k_old · Δw with Δw = S_old⁻¹·S_corr
+    # applied on the world side.
+    delta_w = lie.inv_sim3(S_old) @ S_corr  # maps old-world -> new-world? see note
+    # Equivalent practical form: T_k_corr = T_k_old @ inv(delta_world) where
+    # delta_world warps world points p ↦ delta_world · p.
+    delta_world = lie.inv_sim3(delta_w)
+
+    new_kf_pose = jnp.where(
+        group[:, None, None],
+        jnp.einsum("kij,jl->kil", state.kf_pose, lie.inv_sim3(delta_world)),
+        state.kf_pose,
+    )
+
+    # warp map points owned by the group (points seen by group KFs)
+    M = ms.membership_matrix(state)
+    owned = jnp.any(M & group[:, None], axis=0)  # (P,)
+    warped = lie.transform_points(delta_world, state.pt_pos)
+    new_pts = jnp.where(owned[:, None], warped, state.pt_pos)
+
+    # warp objects observed by the group (reference remaps MapObjects too)
+    obj_in = jnp.zeros(state.obj_pose.shape[0] + 1, bool)
+    oobs_in_group = state.oobs_valid & group[jnp.maximum(state.oobs_kf, 0)]
+    obj_in = obj_in.at[
+        jnp.where(oobs_in_group, state.oobs_obj, state.obj_pose.shape[0])
+    ].set(True)[: state.obj_pose.shape[0]]
+    # Sim(3) ∘ SE(3): full product, then factor the scale out of the
+    # rotation block into obj_scale (objects keep SE(3) pose + scalar scale)
+    s = lie.sim3_scale(delta_world)
+    prod = jnp.einsum("ij,kjl->kil", delta_world, state.obj_pose)
+    new_obj_pose = prod.at[:, :3, :3].multiply(1.0 / s)
+    new_obj = jnp.where(obj_in[:, None, None], new_obj_pose, state.obj_pose)
+    new_obj_scale = jnp.where(obj_in, state.obj_scale * s, state.obj_scale)
+
+    state = state._replace(kf_pose=new_kf_pose, pt_pos=new_pts,
+                           obj_pose=new_obj, obj_scale=new_obj_scale)
+
+    # --- essential graph: spanning chain + covisibility + loop edge ---
+    kf_idx = np.nonzero(np.asarray(state.kf_valid))[0]
+    ei, ej = [], []
+    for a, b in zip(kf_idx[:-1], kf_idx[1:]):
+        ei.append(int(a)); ej.append(int(b))
+    Wn = np.asarray(W)
+    for a in kf_idx:
+        for b in kf_idx:
+            if b > a and Wn[a, b] >= 100:  # strong covisibility edges
+                ei.append(int(a)); ej.append(int(b))
+    ei.append(int(kf_c)); ej.append(int(kf_q))  # the loop edge
+
+    poses = state.kf_pose
+    meas = []
+    for a, b in zip(ei, ej):
+        if (a, b) == (int(kf_c), int(kf_q)):
+            meas.append(t_qc_corrected)  # measured relative from Sim3 solve
+        else:
+            meas.append(pose_graph.relative_sim3(poses[b], poses[a]))
+    meas = jnp.stack(meas)
+
+    fixed = jnp.zeros(K, bool).at[kf_c].set(True)
+    res = pose_graph.optimize_pose_graph(
+        poses, state.kf_valid, fixed, jnp.asarray(ei, jnp.int32),
+        jnp.asarray(ej, jnp.int32), meas, jnp.ones(len(ei), bool),
+        fix_scale=fix_scale, n_iters=pg_iters,
+    )
+
+    # re-anchor points to their reference KF motion (spanning-tree
+    # propagation role, `Optimizer.cc:780` recover step): p ↦ T_new⁻¹·T_old·p
+    ref = jnp.maximum(state.pt_ref_kf, 0)
+    T_old = state.kf_pose[ref]
+    T_new = res.poses[ref]
+    moved = jnp.einsum(
+        "pij,pj->pi",
+        jax.vmap(lie.inv_sim3)(T_new)[:, :3, :3],
+        jnp.einsum("pij,pj->pi", T_old[:, :3, :3], state.pt_pos)
+        + T_old[:, :3, 3],
+    ) + jax.vmap(lie.inv_sim3)(T_new)[:, :3, 3]
+    new_pts2 = jnp.where(state.pt_valid[:, None] & (state.pt_ref_kf >= 0)[:, None],
+                         moved, state.pt_pos)
+    return state._replace(kf_pose=res.poses, pt_pos=new_pts2)
+
+
+def fuse_duplicate_objects(state: ms.MapState, dist_th: float = 1.5
+                           ) -> ms.MapState:
+    """Merge objects whose centers coincide after correction
+    (`SearchAndFuseObjects` `LoopClosing_util.cc:221-293`, 2D-distance
+    matching): the younger object is invalidated, its observations repoint
+    to the older slot."""
+    c = state.obj_pose[:, :3, 3]
+    O = c.shape[0]
+    d = jnp.linalg.norm(c[:, None, :] - c[None, :, :], axis=-1)
+    both = state.obj_valid[:, None] & state.obj_valid[None, :]
+    ii = jnp.arange(O)
+    dup = both & (d < dist_th) & (ii[None, :] < ii[:, None])  # j < i: i dies
+    target = jnp.argmax(dup, axis=1)  # first older duplicate
+    dies = jnp.any(dup, axis=1)
+    remap = jnp.where(dies, target, ii)
+    new_valid = state.obj_valid & ~dies
+    new_oobs_obj = remap[jnp.maximum(state.oobs_obj, 0)].astype(jnp.int32)
+    new_oobs_obj = jnp.where(state.oobs_obj >= 0, new_oobs_obj,
+                             state.oobs_obj)
+    pt_obj = state.pt_object
+    new_pt_obj = jnp.where(pt_obj >= 0,
+                           remap[jnp.maximum(pt_obj, 0)].astype(jnp.int32),
+                           pt_obj)
+    return state._replace(obj_valid=new_valid, oobs_obj=new_oobs_obj,
+                          pt_object=new_pt_obj)

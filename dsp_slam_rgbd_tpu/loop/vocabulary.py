@@ -1,0 +1,130 @@
+"""Visual vocabulary: binary k-medians tree as dense tensors.
+
+Covers the role of DBoW2's `TemplatedVocabulary<FORB>`
+(`Thirdparty/DBoW2`, loaded at `System.cc:80`): descriptor→word
+quantization, tf-idf BoW vectors, and L1 similarity scoring for place
+recognition.  Differences by design:
+
+  * the vocabulary is trained in-framework (`train`) with Hamming k-medians
+    — there is no 100 MB binary artifact to ship; a session-trained or
+    dataset-trained vocab serves relocalization/loop detection;
+  * quantization is a batched tree walk over centroid tensors (levels of
+    (n_nodes, K, 8) uint32) — XOR+popcount on the VPU, vmapped over
+    descriptors — instead of a pointer tree;
+  * feature-to-feature "SearchByBoW" acceleration is NOT needed: the dense
+    Hamming matcher (frontend/matcher.py) is already fast on TPU, so BoW is
+    used purely for scoring/retrieval (the reference needs the FeatureVector
+    trick only because CPU brute-force is slow).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    centroids: tuple          # per level l: (K^l, K, 8) uint32
+    branching: int
+    depth: int
+
+    @property
+    def n_words(self) -> int:
+        return self.branching ** self.depth
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _kmedians(desc: np.ndarray, k: int, rng, iters: int = 8) -> np.ndarray:
+    """Binary k-medians: (N, 8) uint32 -> (k, 8) uint32 centroids."""
+    n = len(desc)
+    if n == 0:
+        return np.zeros((k, 8), np.uint32)
+    centroids = desc[rng.choice(n, size=min(k, n), replace=False)]
+    if len(centroids) < k:
+        centroids = np.concatenate(
+            [centroids, np.zeros((k - len(centroids), 8), np.uint32)]
+        )
+    bits = np.unpackbits(desc.view(np.uint8), axis=-1)  # (N, 256)
+    for _ in range(iters):
+        d = _popcount_np(desc[:, None, :] ^ centroids[None, :, :])  # (N, k)
+        assign = d.argmin(-1)
+        for c in range(k):
+            sel = bits[assign == c]
+            if len(sel):
+                maj = (sel.mean(0) > 0.5).astype(np.uint8)
+                centroids[c] = np.packbits(maj).view(np.uint32)
+    return centroids.astype(np.uint32)
+
+
+def train(descriptors: np.ndarray, branching: int = 10, depth: int = 3,
+          seed: int = 0, max_per_node: int = 20000) -> Vocabulary:
+    """Hierarchical k-medians over (N, 8) uint32 descriptors (host-side,
+    one-off — the DBoW2 `create` role)."""
+    rng = np.random.default_rng(seed)
+    desc = np.asarray(descriptors, np.uint32)
+    levels = []
+    node_data = [desc]  # descriptors assigned to each node of current level
+    for level in range(depth):
+        cents = []
+        next_data = []
+        for data in node_data:
+            if len(data) > max_per_node:
+                data = data[rng.choice(len(data), max_per_node, replace=False)]
+            c = _kmedians(data, branching, rng)
+            cents.append(c)
+            if len(data):
+                d = _popcount_np(data[:, None, :] ^ c[None, :, :])
+                assign = d.argmin(-1)
+            else:
+                assign = np.zeros(0, np.int64)
+            for child in range(branching):
+                next_data.append(data[assign == child])
+        levels.append(jnp.asarray(np.stack(cents)))  # (nodes, K, 8)
+        node_data = next_data
+    return Vocabulary(centroids=tuple(levels), branching=branching,
+                      depth=depth)
+
+
+def quantize(vocab: Vocabulary, desc: jnp.ndarray,
+             valid: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 -> (N,) int32 word ids (−1 for invalid slots)."""
+    n = desc.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for level in range(vocab.depth):
+        cents = vocab.centroids[level]  # (nodes, K, 8)
+        c = cents[node]  # (N, K, 8)
+        x = jnp.bitwise_xor(desc[:, None, :], c)
+        d = jnp.sum(jax.lax.population_count(x), axis=-1)  # (N, K)
+        child = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        node = node * vocab.branching + child
+    return jnp.where(valid, node, -1)
+
+
+def bow_vector(word_ids: jnp.ndarray, n_words: int,
+               idf: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(N,) word ids -> L1-normalized (W,) BoW vector (tf or tf-idf)."""
+    ok = word_ids >= 0
+    w_safe = jnp.where(ok, word_ids, n_words)
+    v = jnp.zeros(n_words + 1).at[w_safe].add(ok.astype(jnp.float32))[:-1]
+    if idf is not None:
+        v = v * idf
+    s = jnp.maximum(jnp.sum(v), 1e-9)
+    return v / s
+
+
+def l1_score(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity: 1 − ½‖v1 − v2‖₁ ∈ [0, 1].  Broadcasts."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
+
+
+def compute_idf(bow_counts: jnp.ndarray, kf_valid: jnp.ndarray) -> jnp.ndarray:
+    """idf over a (K, W) per-KF word count/presence matrix."""
+    present = (bow_counts > 0) & kf_valid[:, None]
+    n_kf = jnp.maximum(jnp.sum(kf_valid), 1)
+    df = jnp.sum(present, axis=0)
+    return jnp.log(n_kf / jnp.maximum(df, 1))
