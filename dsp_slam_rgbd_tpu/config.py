@@ -1,0 +1,127 @@
+"""Typed configuration tree.
+
+Replaces the reference's two-tier config split — OpenCV FileStorage YAML per
+sequence (`configs/KITTI00-02.yaml`, parsed at `Tracking.cc:53-156`) + json
+per dataset (`configs/config_kitti.json`, parsed by `reconstruct/utils.py:87`)
+— with one dataclass tree.  `from_reference_yaml_json` ingests the
+reference's own config files so its sequences run unmodified.
+"""
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field, replace  # noqa: F401
+
+from dsp_slam_rgbd_tpu.frontend.orb import OrbConfig
+from dsp_slam_rgbd_tpu.ops.camera import Intrinsics
+from dsp_slam_rgbd_tpu.recon.optimizer import ReconConfig
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    fps: float = 10.0
+    th_depth: float = 35.0          # close/far stereo point threshold
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30 # defaults to fps
+    min_tracked_for_ok: int = 30
+    reloc_min_inliers: int = 50
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    max_kf: int = 128
+    max_feat: int = 1024
+    max_pts: int = 16384
+    max_obj: int = 16
+    max_oobs: int = 512
+    local_window: int = 10
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    sensor: str = "stereo"          # stereo | rgbd | mono
+    cam: Intrinsics = Intrinsics(fx=718.856, fy=718.856, cx=607.1928,
+                                 cy=185.2157, bf=386.1448)
+    orb: OrbConfig = OrbConfig()
+    recon: ReconConfig = ReconConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    map: MapConfig = MapConfig()
+    depth_scale: float = 1.0        # RGB-D depth map factor
+    detect_online: bool = False     # offline-label mode is first-class
+    deepsdf_dir: str = ""
+    voxels_dim: int = 32
+
+
+def _parse_opencv_yaml(path: str) -> dict:
+    """Minimal parser for OpenCV FileStorage YAML (flat `Key.sub: value`)."""
+    out = {}
+    for line in open(path):
+        line = line.split("#")[0].strip()
+        m = re.match(r"^([\w.]+)\s*:\s*(.+)$", line)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip().strip('"')
+        try:
+            out[key] = float(val) if "." in val or "e" in val.lower() \
+                else int(val)
+        except ValueError:
+            out[key] = val
+    return out
+
+
+def from_reference_yaml_json(yaml_path: str, json_path: str | None = None,
+                             sensor: str = "stereo") -> SystemConfig:
+    """Build a SystemConfig from the reference's own config files."""
+    y = _parse_opencv_yaml(yaml_path)
+    cam = Intrinsics(
+        fx=float(y["Camera.fx"]), fy=float(y["Camera.fy"]),
+        cx=float(y["Camera.cx"]), cy=float(y["Camera.cy"]),
+        dist=(float(y.get("Camera.k1", 0.0)), float(y.get("Camera.k2", 0.0)),
+              float(y.get("Camera.p1", 0.0)), float(y.get("Camera.p2", 0.0)),
+              float(y.get("Camera.k3", 0.0))),
+        bf=float(y.get("Camera.bf", 0.0)),
+    )
+    orb = OrbConfig(
+        n_features=int(y.get("ORBextractor.nFeatures", 2000)),
+        n_levels=int(y.get("ORBextractor.nLevels", 8)),
+        scale=float(y.get("ORBextractor.scaleFactor", 1.2)),
+        fast_threshold=float(y.get("ORBextractor.iniThFAST", 20)),
+        fast_min_threshold=float(y.get("ORBextractor.minThFAST", 7)),
+    )
+    tracking = TrackingConfig(
+        fps=float(y.get("Camera.fps", 10.0)),
+        th_depth=float(y.get("ThDepth", 35.0)),
+        max_frames_between_kf=int(float(y.get("Camera.fps", 10.0))),
+    )
+    recon = ReconConfig()
+    deepsdf_dir = ""
+    voxels = 32
+    detect_online = False
+    if json_path:
+        j = json.load(open(json_path))
+        o = j.get("optimizer", {})
+        jo = o.get("joint_optim", {})
+        recon = ReconConfig(
+            code_len=int(o.get("code_len", 64)),
+            num_depth_samples=int(o.get("num_depth_samples", 50)),
+            cut_off_threshold=float(o.get("cut_off_threshold", 0.01)),
+            k1=float(jo.get("k1", 1.0)), k2=float(jo.get("k2", 100.0)),
+            k3=float(jo.get("k3", 0.25)), k4=float(jo.get("k4", 1e7)),
+            b1=float(jo.get("b1", 0.20)), b2=float(jo.get("b2", 0.025)),
+            num_iterations=int(jo.get("num_iterations", 10)),
+            learning_rate=float(jo.get("learning_rate", 1.0)),
+            scale_damping=float(jo.get("scale_damping", 1.0)),
+            pose_only_iterations=int(
+                o.get("pose_only_optim", {}).get("num_iterations", 5)
+            ),
+        )
+        deepsdf_dir = j.get("DeepSDF_DIR", "")
+        voxels = int(j.get("voxels_dim", 32))
+        detect_online = bool(j.get("detect_online", False))
+    return SystemConfig(
+        sensor=sensor, cam=cam, orb=orb, recon=recon, tracking=tracking,
+        depth_scale=1.0 / float(y["DepthMapFactor"])
+        if "DepthMapFactor" in y else 1.0,
+        deepsdf_dir=deepsdf_dir, voxels_dim=voxels,
+        detect_online=detect_online,
+    )

@@ -46,10 +46,14 @@ def match_stereo(feats_l, feats_r, img_l, img_r, bf: float,
     disp_ok = (disp >= -1.0) & (disp <= max_disp)
     lvl_ok = matcher.level_band_mask(feats_l.level, feats_r.level, 1)
 
+    # (TH_HIGH+TH_LOW)/2 matches the reference's thOrbDist (`Frame.cc:509`);
+    # ratio+mutual kill the wrong-epipolar-candidate tail that otherwise
+    # poisons depths through the subpixel refinement
     m = matcher.match(
         feats_l.desc, feats_l.valid, feats_r.desc, feats_r.valid,
-        mask=row_ok & disp_ok & lvl_ok, max_dist=matcher.TH_HIGH,
-        mutual=False,
+        mask=row_ok & disp_ok & lvl_ok,
+        max_dist=(matcher.TH_HIGH + matcher.TH_LOW) // 2,
+        ratio=0.9, mutual=True,
     )
 
     # ---- subpixel refinement by SAD parabola (reference :530-590) ----

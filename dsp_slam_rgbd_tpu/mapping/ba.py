@@ -215,7 +215,8 @@ def _assemble_and_solve(cam, prob: BAProblem, damping: float):
     dc_kf = dx[:K]
     Hcp_dc = jnp.einsum("bpik,bi->pk", Hcp, dx)
     dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - Hcp_dc)
-    dp = jnp.where(pt_live[:, None], dp, 0.0)
+    dp = jnp.where(pt_live[:, None] & jnp.all(jnp.isfinite(dp), -1,
+                                              keepdims=True), dp, 0.0)
 
     # apply updates
     new_kf = jax.vmap(lambda d, T: lie.exp_se3(d) @ T)(dc_kf, prob.kf_pose)

@@ -54,6 +54,12 @@ def _residuals_and_jac(cam, t_cw, pts_w, obs, stereo: bool):
             [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf * zi2], -1
         )
         rows.append(dur)
+        # observations without a right match carry uR = −1: mask the third
+        # row so they act as mono edges (same convention as mapping/ba.py)
+        has_ur = (obs[..., 2] >= 0.0).astype(res.dtype)
+        res = res.at[..., 2].multiply(has_ur)
+        dur = dur * has_ur[..., None]
+        rows[2] = dur
     dpred_dpc = jnp.stack(rows, axis=-2)  # (N, D, 3)
     dpc_dxi = lie.points_to_pose_jacobian_se3(pc)  # (N, 3, 6)
     J = jnp.einsum("ndk,nkj->ndj", dpred_dpc, dpc_dxi)  # (N, D, 6)

@@ -1,0 +1,296 @@
+"""System orchestrator: the single host loop that replaces the reference's
+thread pipeline.
+
+Covers `System` (`src/System.cc`): construction wires tracker + map +
+local-mapping + loop-closing (+ object reconstruction via the DeepSDF
+decoder), `TrackStereo`/`TrackRGBD`/`TrackMonocular` entry points, and the
+Save* exporters.  The reference's 4-5 pthreads with queues and mutexes
+(SURVEY.md §2.4) become explicit stages in one loop: tracking every frame;
+mapping/BA/reconstruction on keyframes; loop detection per keyframe.  XLA
+async dispatch overlaps device work where the threads used to.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dsp_slam_rgbd_tpu.config import SystemConfig
+from dsp_slam_rgbd_tpu.loop import keyframe_db, loop_closing, vocabulary
+from dsp_slam_rgbd_tpu.mapping import covisibility as covis
+from dsp_slam_rgbd_tpu.mapping import local_mapping as lm
+from dsp_slam_rgbd_tpu.mapping import map_state as ms
+from dsp_slam_rgbd_tpu.mapping import objects as obj_mod
+from dsp_slam_rgbd_tpu.ops import lie
+from dsp_slam_rgbd_tpu.recon import optimizer as recon_opt
+from dsp_slam_rgbd_tpu.system import io as io_mod
+from dsp_slam_rgbd_tpu.tracking.tracker import Tracker
+
+
+class SLAMSystem:
+    def __init__(self, cfg: SystemConfig, decoder_params=None,
+                 decoder_spec=None, vocab: vocabulary.Vocabulary = None):
+        self.cfg = cfg
+        self.state = ms.empty(
+            max_kf=cfg.map.max_kf, max_feat=cfg.map.max_feat,
+            max_pts=cfg.map.max_pts, max_obj=cfg.map.max_obj,
+            code_len=cfg.recon.code_len, max_oobs=cfg.map.max_oobs,
+        )
+        self.tracker = Tracker(cfg, self.state)
+        self.decoder_params = decoder_params
+        self.decoder_spec = decoder_spec
+        self.vocab = vocab
+        self.db = keyframe_db.empty(cfg.map.max_kf, vocab.n_words) \
+            if vocab is not None else None
+        self.consistency = loop_closing.ConsistencyState()
+        self.n_kf = 0
+        self.loop_closures = 0
+        self._oobs_cursor = 0
+        self._key = jax.random.PRNGKey(42)
+
+    # ------------------------------------------------------------------
+    def track_stereo(self, img_left, img_right, timestamp=0.0,
+                     detections=None):
+        return self._track(img_left, img_right=img_right,
+                           timestamp=timestamp, detections=detections)
+
+    def track_rgbd(self, img, depth, timestamp=0.0, detections=None):
+        return self._track(img, depth_map=depth, timestamp=timestamp,
+                           detections=detections)
+
+    def track_mono(self, img, timestamp=0.0, detections=None):
+        return self._track(img, timestamp=timestamp, detections=detections)
+
+    # ------------------------------------------------------------------
+    def _track(self, img, img_right=None, depth_map=None, timestamp=0.0,
+               detections=None):
+        self.tracker.state = self.state
+        out = self.tracker.track(img, img_right=img_right,
+                                 depth_map=depth_map, timestamp=timestamp)
+        if out["new_kf"]:
+            if self.tracker.status == "OK" and self.n_kf == 0 \
+                    and self.cfg.sensor == "mono" \
+                    and hasattr(self.tracker, "init_result"):
+                self._insert_mono_init()
+            else:
+                self._insert_keyframe(out["frame"], detections)
+            self.tracker.state = self.state
+        return out
+
+    # ------------------------------------------------------------------
+    def _insert_mono_init(self):
+        """Create the two initial KFs + triangulated points (reference
+        `CreateInitialMapMonocular`)."""
+        r = self.tracker.init_result
+        ref, cur, m = r["ref_frame"], r["cur_frame"], r["matches"]
+        good = np.asarray(r["good"] & m.valid)
+        k0 = int(ms.alloc_slots(self.state.kf_valid, 1)[0])
+        self.state = lm.insert_keyframe(
+            self.state, ref._replace(t_cw=jnp.eye(4)), k0, 0
+        )
+        k1 = int(ms.alloc_slots(self.state.kf_valid, 1)[0])
+        self.state = lm.insert_keyframe(
+            self.state, cur._replace(t_cw=r["t21"]), k1, 1
+        )
+        pts = np.asarray(r["pts"])
+        chosen = np.nonzero(good)[0]
+        slots = ms.alloc_slots(self.state.pt_valid, len(chosen))
+        ok = slots >= 0
+        chosen, slots = chosen[ok], slots[ok]
+        sl = jnp.asarray(slots)
+        ch = jnp.asarray(chosen)
+        midx = np.asarray(m.idx)
+        self.state = self.state._replace(
+            pt_pos=self.state.pt_pos.at[sl].set(jnp.asarray(pts[chosen])),
+            pt_valid=self.state.pt_valid.at[sl].set(True),
+            pt_desc=self.state.pt_desc.at[sl].set(ref.feats.desc[ch]),
+            pt_ref_kf=self.state.pt_ref_kf.at[sl].set(k0),
+            pt_first_kf=self.state.pt_first_kf.at[sl].set(k0),
+            kf_feat_pt=self.state.kf_feat_pt
+            .at[k0, ch].set(sl.astype(jnp.int32))
+            .at[k1, jnp.asarray(midx[chosen])].set(sl.astype(jnp.int32)),
+        )
+        self.tracker.ref_kf = k1
+        self.tracker.last_kf_frame_id = self.tracker.frame_id
+        self.n_kf = 2
+        self._update_bow(k0)
+        self._update_bow(k1)
+
+    def _insert_keyframe(self, frame, detections):
+        slot = ms.alloc_slots(self.state.kf_valid, 1)[0]
+        if slot < 0:
+            return
+        slot = int(slot)
+        self.state = lm.insert_keyframe(self.state, frame, slot,
+                                        self.tracker.frame_id)
+        if self.cfg.sensor in ("stereo", "rgbd"):
+            self.state = lm.spawn_depth_points(
+                self.state, self.cfg.cam, slot, frame,
+                self.cfg.tracking.th_depth * self.cfg.cam.bf / self.cfg.cam.fx,
+            )
+        self.state = lm.triangulate_new_points(self.state, self.cfg.cam, slot)
+        self.state = lm.fuse_neighbors(self.state, self.cfg.cam, slot)
+        self.state = lm.cull_points(self.state, slot)
+
+        if detections:
+            self._object_stage(slot, frame, detections)
+
+        self.state = lm.local_ba_step(self.state, self.cfg.cam, slot,
+                                      self.cfg.map.local_window)
+        self.tracker.ref_kf = slot
+        self.tracker.last_kf_frame_id = self.tracker.frame_id
+        self.n_kf += 1
+        self._update_bow(slot)
+        self._loop_stage(slot)
+
+    # ------------------------------------------------------------------
+    def _object_stage(self, kf_slot: int, frame, detections):
+        """Associate detections, fit/update objects, record observations
+        (`LocalMapping_util.cc` object stage)."""
+        if self.decoder_params is None:
+            return
+        t_cw = self.state.kf_pose[kf_slot]
+        centers = self.state.obj_pose[:, :3, 3]
+        det_t = jnp.asarray(np.stack([d.t_co for d in detections]))
+        det_valid = jnp.ones(len(detections), bool)
+        assoc, unmatched = obj_mod.associate_detections(
+            centers, self.state.obj_valid, self.state.obj_dynamic,
+            self.state.obj_velocity, det_t, det_valid, t_cw,
+        )
+        assoc = np.asarray(assoc)
+        unmatched = np.asarray(unmatched)
+
+        for o in np.nonzero(assoc >= 0)[0]:
+            det = detections[int(assoc[o])]
+            # pose-only refinement with the existing code
+            t_co_ref, loss = recon_opt.estimate_pose_cam_obj(
+                self.decoder_params, self.decoder_spec, self.cfg.recon,
+                jnp.asarray(det.t_co), float(self.state.obj_scale[o]),
+                jnp.asarray(det.pts), jnp.asarray(det.pts_mask),
+                self.state.obj_code[o],
+            )
+            self._add_object_obs(int(o), kf_slot, np.asarray(t_co_ref))
+            t_wo_new = lie.inv_se3(t_cw) @ t_co_ref
+            prev_c = self.state.obj_pose[o, :3, 3]
+            v, dyn, _ = obj_mod.update_dynamics(
+                prev_c, t_wo_new[:3, 3], 1.0, self.state.obj_velocity[o]
+            )
+            self.state = self.state._replace(
+                obj_n_obs=self.state.obj_n_obs.at[o].add(1),
+                obj_last_kf=self.state.obj_last_kf.at[o].set(kf_slot),
+                obj_velocity=self.state.obj_velocity.at[o].set(v),
+            )
+
+        for d in np.nonzero(unmatched)[0]:
+            det = detections[int(d)]
+            res = recon_opt.reconstruct_object(
+                self.decoder_params, self.decoder_spec, self.cfg.recon,
+                jnp.asarray(det.t_co).at[:3, :3].multiply(det.scale),
+                jnp.asarray(det.pts), jnp.asarray(det.pts_mask),
+                jnp.asarray(det.rays), jnp.asarray(det.ray_mask),
+                jnp.asarray(det.depth), jnp.asarray(det.fg_mask),
+            )
+            if not bool(res.is_good):
+                continue
+            slot = ms.alloc_slots(self.state.obj_valid, 1)[0]
+            if slot < 0:
+                continue
+            slot = int(slot)
+            t_co_fit = np.asarray(res.t_cam_obj)
+            s = float(np.cbrt(np.linalg.det(t_co_fit[:3, :3])))
+            t_co_se3 = t_co_fit.copy()
+            t_co_se3[:3, :3] /= s
+            t_wo = np.asarray(lie.inv_se3(t_cw)) @ t_co_se3
+            self.state = self.state._replace(
+                obj_pose=self.state.obj_pose.at[slot].set(jnp.asarray(t_wo)),
+                obj_scale=self.state.obj_scale.at[slot].set(s),
+                obj_code=self.state.obj_code.at[slot].set(res.code),
+                obj_valid=self.state.obj_valid.at[slot].set(True),
+                obj_n_obs=self.state.obj_n_obs.at[slot].set(1),
+                obj_last_kf=self.state.obj_last_kf.at[slot].set(kf_slot),
+            )
+            self._add_object_obs(slot, kf_slot, t_co_se3)
+
+        keep = obj_mod.cull_objects(
+            self.state.obj_valid, self.state.obj_n_obs,
+            self.state.obj_last_kf, kf_slot,
+        )
+        self.state = self.state._replace(obj_valid=keep)
+
+    def _add_object_obs(self, obj_slot: int, kf_slot: int, t_co):
+        q = self._oobs_cursor % self.state.oobs_kf.shape[0]
+        self._oobs_cursor += 1
+        self.state = self.state._replace(
+            oobs_kf=self.state.oobs_kf.at[q].set(kf_slot),
+            oobs_obj=self.state.oobs_obj.at[q].set(obj_slot),
+            oobs_t_co=self.state.oobs_t_co.at[q].set(jnp.asarray(t_co)),
+            oobs_valid=self.state.oobs_valid.at[q].set(True),
+        )
+
+    # ------------------------------------------------------------------
+    def _update_bow(self, kf_slot: int):
+        if self.vocab is None:
+            return
+        w = vocabulary.quantize(
+            self.vocab, self.state.kf_desc[kf_slot],
+            self.state.kf_feat_valid[kf_slot],
+        )
+        v = vocabulary.bow_vector(w, self.vocab.n_words)
+        self.db = self.db.add(kf_slot, v)
+
+    def _loop_stage(self, kf_slot: int):
+        """Loop detection + correction per keyframe (LoopClosing::Run)."""
+        if self.db is None or self.n_kf < 6:
+            return
+        W = covis.covisibility_matrix(self.state)
+        connected = (W[kf_slot] >= covis.MIN_WEIGHT)
+        connected = connected.at[kf_slot].set(True)
+        # also exclude temporally recent KFs
+        recent = jnp.asarray(
+            np.asarray(self.state.kf_frame_id)
+            >= self.tracker.frame_id - 2 * self.cfg.tracking.max_frames_between_kf
+        )
+        cand, scores = keyframe_db.detect_loop_candidates(
+            self.db, self.db.bow[kf_slot], connected | recent, W
+        )
+        groups = loop_closing.candidate_groups(self.state, np.asarray(cand))
+        consistent = self.consistency.update(groups)
+        if not consistent:
+            return
+        best = max(consistent, key=lambda k: float(scores[k]))
+        self._key, sub = jax.random.split(self._key)
+        fix_scale = self.cfg.sensor != "mono"
+        res = loop_closing.compute_loop_sim3(
+            self.state, self.cfg.cam, kf_slot, best, sub,
+            fix_scale=fix_scale,
+        )
+        if not bool(res.ok):
+            return
+        self.state = loop_closing.correct_loop(
+            self.state, self.cfg.cam, kf_slot, best, res.t_21,
+            fix_scale=fix_scale,
+        )
+        self.state = loop_closing.fuse_duplicate_objects(self.state)
+        self.loop_closures += 1
+
+    # ------------------------------------------------------------------
+    def save_trajectory_kitti(self, path: str):
+        poses = np.stack([p for _, p, _ in self.tracker.trajectory]) \
+            if self.tracker.trajectory else np.zeros((0, 4, 4))
+        ok = np.asarray([o for _, _, o in self.tracker.trajectory], bool) \
+            if self.tracker.trajectory else np.zeros(0, bool)
+        io_mod.save_trajectory_kitti(path, poses, ok)
+
+    def save_trajectory_tum(self, path: str):
+        poses = np.stack([p for _, p, _ in self.tracker.trajectory]) \
+            if self.tracker.trajectory else np.zeros((0, 4, 4))
+        ts = np.asarray([t for t, _, _ in self.tracker.trajectory])
+        ok = np.asarray([o for _, _, o in self.tracker.trajectory], bool) \
+            if self.tracker.trajectory else np.zeros(0, bool)
+        io_mod.save_trajectory_tum(path, poses, ts, ok)
+
+    def save_entire_map(self, dirname: str):
+        io_mod.save_entire_map(dirname, self.state)
+
+    def shutdown(self):
+        pass  # no threads to join — single host loop

@@ -1,0 +1,350 @@
+"""Per-frame tracking front end: the reference `Tracking` state machine.
+
+Covers `src/Tracking.cc`: the NO_IMAGES → NOT_INITIALIZED → OK/LOST machine
+(`Track()` :306-549), stereo/RGB-D initialization (:551-605), monocular
+initialization via the H/F initializer + median-depth scaling (:607-819),
+`TrackWithMotionModel` (:949), `TrackReferenceKeyFrame` (:839),
+`TrackLocalMap` (:1012), `NeedNewKeyFrame` (:1059) and `Relocalization`
+(:1445).
+
+TPU design: the host drives the (data-dependent) state machine; every
+compute step — feature extraction, projection matching, robust pose GN,
+PnP — is a fixed-shape jitted kernel.  Map points are matched against a
+fixed-capacity local-point gather, so nothing recompiles as the map grows
+(SURVEY.md §7 hard part 3).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_slam_rgbd_tpu.config import SystemConfig
+from dsp_slam_rgbd_tpu.frontend import matcher, orb, stereo as stereo_mod
+from dsp_slam_rgbd_tpu.mapping import covisibility as covis
+from dsp_slam_rgbd_tpu.mapping import map_state as ms
+from dsp_slam_rgbd_tpu.ops import camera as cam_ops
+from dsp_slam_rgbd_tpu.ops import lie
+from dsp_slam_rgbd_tpu.solvers import initializer as init_mod
+from dsp_slam_rgbd_tpu.solvers import pnp, pose_gn
+
+LOCAL_PTS = 4096  # fixed capacity of the tracked local-point set
+
+
+class Frame(NamedTuple):
+    feats: orb.Features
+    ur: jnp.ndarray       # (F,) stereo right-x, −1 if none
+    depth: jnp.ndarray    # (F,) metric depth, −1 if none
+    t_cw: jnp.ndarray     # (4, 4)
+    pt_idx: jnp.ndarray   # (F,) matched map-point slot or −1
+    timestamp: float
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
+                       feat_desc, feat_level, feat_valid, radius):
+    """Project candidate points into the frame and match by descriptor.
+
+    The TPU equivalent of `SearchByProjection(F, vpMapPoints)`
+    (`ORBmatcher.cc:45`): dense radius mask + Hamming argmin instead of the
+    per-cell grid walk.  Returns (per-feature point idx or −1, valid)."""
+    pc = lie.transform_points(t_cw, pt_pos)
+    uv = cam_ops.project(cam, pc)
+    in_front = pc[:, 2] > 0.1
+    h_margin = 50.0
+    in_img = (
+        (uv[:, 0] > -h_margin) & (uv[:, 0] < cam.cx * 2 + h_margin)
+        & (uv[:, 1] > -h_margin) & (uv[:, 1] < cam.cy * 2 + h_margin)
+    )
+    cand = pt_valid & in_front & in_img
+
+    # per-feature scale-dependent radius (reference: th·scaleFactor^octave)
+    r = radius * (1.2 ** feat_level.astype(jnp.float32))
+    d2 = jnp.sum((feat_xy[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+    mask = (d2 <= (r[:, None] ** 2)) & cand[None, :]
+
+    # ratio + mutual gates: a lax best-distance-only test admits wrong
+    # zero-flow matches on weakly textured scenes (the reference gets the
+    # same protection from its best<0.9·second check in SearchByProjection)
+    m = matcher.match(feat_desc, feat_valid, pt_desc, cand, mask=mask,
+                      max_dist=matcher.TH_HIGH, ratio=0.85, mutual=True)
+    return jnp.where(m.valid, m.idx, -1), m.valid
+
+
+def _gather_local_points(state: ms.MapState, kf_window: np.ndarray):
+    """Host: indices of points observed by the KF window, capped."""
+    M = np.asarray(ms.membership_matrix(state))
+    pts = np.nonzero(M[kf_window].any(axis=0))[0]
+    idx = np.full(LOCAL_PTS, 0, np.int32)
+    n = min(len(pts), LOCAL_PTS)
+    idx[:n] = pts[:n]
+    mask = np.zeros(LOCAL_PTS, bool)
+    mask[:n] = True
+    return jnp.asarray(idx), jnp.asarray(mask)
+
+
+class Tracker:
+    """Host-driven tracking state machine."""
+
+    def __init__(self, cfg: SystemConfig, state: ms.MapState):
+        self.cfg = cfg
+        self.state = state
+        self.status = "NOT_INITIALIZED"
+        self.velocity = jnp.eye(4)       # T_curr_prev motion model
+        self.last_frame: Optional[Frame] = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.frame_id = -1
+        self.init_ref: Optional[Frame] = None  # mono initialization anchor
+        self.trajectory = []             # (timestamp, T_cw, ok) per frame
+        self.n_inliers_last = 0
+        self._key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    def make_frame(self, img, img_right=None, depth_map=None,
+                   timestamp: float = 0.0) -> Frame:
+        feats = orb.extract(jnp.asarray(img, jnp.float32), self.cfg.orb)
+        F = feats.xy.shape[0]
+        ur = jnp.full(F, -1.0)
+        dep = jnp.full(F, -1.0)
+        if img_right is not None:
+            fr = orb.extract(jnp.asarray(img_right, jnp.float32), self.cfg.orb)
+            sm = stereo_mod.match_stereo(
+                feats, fr, jnp.asarray(img, jnp.float32),
+                jnp.asarray(img_right, jnp.float32), self.cfg.cam.bf,
+                min_z=self.cfg.cam.bf / self.cfg.cam.fx,
+            )
+            ur = sm.u_right
+            dep = sm.depth
+        elif depth_map is not None:
+            sm = stereo_mod.depth_to_stereo(
+                feats, jnp.asarray(depth_map, jnp.float32), self.cfg.cam.bf,
+                self.cfg.depth_scale,
+            )
+            ur = sm.u_right
+            dep = sm.depth
+        return Frame(feats, ur, dep, jnp.eye(4),
+                     jnp.full(F, -1, jnp.int32), timestamp)
+
+    # ------------------------------------------------------------------
+    def track(self, img, img_right=None, depth_map=None,
+              timestamp: float = 0.0) -> dict:
+        """Process one frame.  Returns a status dict; the caller (System)
+        handles keyframe insertion into local mapping."""
+        self.frame_id += 1
+        frame = self.make_frame(img, img_right, depth_map, timestamp)
+        out = {"new_kf": False, "frame": frame, "ok": False}
+
+        if self.status == "NOT_INITIALIZED":
+            if self.cfg.sensor in ("stereo", "rgbd"):
+                ok = self._stereo_init(frame)
+            else:
+                ok = self._mono_init(frame)
+            if ok:
+                self.status = "OK"
+                out["new_kf"] = True  # map init created KF(s)
+                out["ok"] = True
+                self.trajectory.append(
+                    (timestamp, np.asarray(self.last_frame.t_cw), True)
+                )
+            out["frame"] = self.last_frame or frame
+            return out
+
+        # --- normal tracking ---
+        ok = False
+        if self.status == "OK":
+            frame, ok = self._track_motion_model(frame)
+            if not ok:
+                frame, ok = self._track_reference_kf(frame)
+        if self.status == "LOST" or not ok:
+            frame, ok = self._relocalize(frame)
+
+        if ok:
+            frame, n_tracked = self._track_local_map(frame)
+            ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
+            self.n_inliers_last = n_tracked
+
+        self.status = "OK" if ok else "LOST"
+        if ok and self.last_frame is not None:
+            self.velocity = frame.t_cw @ lie.inv_se3(self.last_frame.t_cw)
+        self.trajectory.append((timestamp, np.asarray(frame.t_cw), ok))
+        self.last_frame = frame
+        out["frame"] = frame
+        out["ok"] = ok
+        out["new_kf"] = ok and self._need_new_keyframe()
+        return out
+
+    # ------------------------------------------------------------------
+    def _stereo_init(self, frame: Frame) -> bool:
+        """Reference stereo init (`Tracking.cc:551-605`): need ≥500 features
+        with depth; spawn points directly (System handles map insertion)."""
+        n_depth = int(jnp.sum((frame.depth > 0) & frame.feats.valid))
+        if n_depth < 100:
+            return False
+        self.last_frame = frame._replace(t_cw=jnp.eye(4))
+        return True
+
+    def _mono_init(self, frame: Frame) -> bool:
+        """Two-frame H/F initialization (`Tracking.cc:607-819`)."""
+        if self.init_ref is None:
+            if int(jnp.sum(frame.feats.valid)) > 100:
+                self.init_ref = frame
+            return False
+        ref = self.init_ref
+        m = matcher.match(
+            ref.feats.desc, ref.feats.valid, frame.feats.desc,
+            frame.feats.valid,
+            mask=matcher.radius_mask(ref.feats.xy, frame.feats.xy, 100.0),
+            max_dist=matcher.TH_LOW, ratio=0.9, mutual=True,
+        )
+        n_m = int(jnp.sum(m.valid))
+        if n_m < 100:
+            self.init_ref = frame  # reference refresh, as the reference does
+            return False
+        uv1 = ref.feats.xy
+        uv2 = frame.feats.xy[jnp.maximum(m.idx, 0)]
+        self._key, sub = jax.random.split(self._key)
+        res = init_mod.initialize(self.cfg.cam, uv1, uv2, m.valid, sub)
+        if not bool(res.ok):
+            return False
+        # median-depth normalization (reference :770-800)
+        good = np.asarray(res.good)
+        z = np.asarray(res.pts_w)[:, 2]
+        med = np.median(z[good]) if good.any() else 1.0
+        t21 = np.asarray(res.t_21)
+        t21[:3, 3] /= max(med, 1e-6)
+        pts = np.asarray(res.pts_w) / max(med, 1e-6)
+        self.init_result = {
+            "ref_frame": ref, "cur_frame": frame, "matches": m,
+            "t21": jnp.asarray(t21), "pts": jnp.asarray(pts),
+            "good": res.good,
+        }
+        self.last_frame = frame._replace(t_cw=jnp.asarray(t21))
+        return True
+
+    # ------------------------------------------------------------------
+    def _pose_from_matches(self, frame: Frame, pt_idx, matched, t_init):
+        pts_w = self.state.pt_pos[jnp.maximum(pt_idx, 0)]
+        use_stereo = bool(jnp.any(frame.ur >= 0))
+        if use_stereo:
+            obs = jnp.concatenate([frame.feats.xy, frame.ur[:, None]], -1)
+        else:
+            obs = frame.feats.xy
+        inv_s2 = 1.0 / (1.2 ** (2.0 * frame.feats.level.astype(jnp.float32)))
+        res = pose_gn.optimize_pose(
+            self.cfg.cam, t_init, pts_w, obs, inv_s2,
+            matched & frame.feats.valid, stereo=use_stereo,
+        )
+        pt_final = jnp.where(res.inliers, pt_idx, -1)
+        return frame._replace(t_cw=res.t_cw, pt_idx=pt_final), \
+            int(res.n_inliers)
+
+    def _track_motion_model(self, frame: Frame):
+        """Constant-velocity prediction + projective match (:949)."""
+        if self.last_frame is None:
+            return frame, False
+        t_pred = self.velocity @ self.last_frame.t_cw
+        idx, mask = _gather_local_points(
+            self.state, self._local_kf_window()
+        )
+        pt_idx, matched = match_local_points(
+            self.cfg.cam, t_pred, self.state.pt_pos[idx],
+            self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
+            frame.feats.xy, frame.feats.desc, frame.feats.level,
+            frame.feats.valid, radius=15.0,
+        )
+        pt_global = jnp.where(pt_idx >= 0, idx[jnp.maximum(pt_idx, 0)], -1)
+        if int(jnp.sum(pt_global >= 0)) < 20:
+            return frame, False
+        frame, n = self._pose_from_matches(frame, pt_global,
+                                           pt_global >= 0, t_pred)
+        return frame, n >= 10
+
+    def _track_reference_kf(self, frame: Frame):
+        """Descriptor match against the reference KF (:839)."""
+        if self.ref_kf < 0:
+            return frame, False
+        k = self.ref_kf
+        m = matcher.match(
+            frame.feats.desc, frame.feats.valid, self.state.kf_desc[k],
+            self.state.kf_feat_valid[k] & (self.state.kf_feat_pt[k] >= 0),
+            max_dist=matcher.TH_LOW, ratio=0.7, mutual=True,
+        )
+        pt_idx = jnp.where(
+            m.valid, self.state.kf_feat_pt[k][jnp.maximum(m.idx, 0)], -1
+        )
+        if int(jnp.sum(pt_idx >= 0)) < 15:
+            return frame, False
+        t_init = self.last_frame.t_cw if self.last_frame is not None \
+            else self.state.kf_pose[k]
+        frame, n = self._pose_from_matches(frame, pt_idx, pt_idx >= 0, t_init)
+        return frame, n >= 10
+
+    def _track_local_map(self, frame: Frame):
+        """Re-match against the full local point set at the refined pose and
+        optimize once more (:1012)."""
+        idx, mask = _gather_local_points(self.state, self._local_kf_window())
+        pt_idx, matched = match_local_points(
+            self.cfg.cam, frame.t_cw, self.state.pt_pos[idx],
+            self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
+            frame.feats.xy, frame.feats.desc, frame.feats.level,
+            frame.feats.valid, radius=4.0,
+        )
+        pt_global = jnp.where(pt_idx >= 0, idx[jnp.maximum(pt_idx, 0)], -1)
+        # keep motion-model matches where the local-map match is empty
+        pt_merged = jnp.where(pt_global >= 0, pt_global, frame.pt_idx)
+        frame, n = self._pose_from_matches(frame, pt_merged, pt_merged >= 0,
+                                           frame.t_cw)
+        return frame, n
+
+    def _relocalize(self, frame: Frame):
+        """BoW-free relocalization: match against recent KFs + PnP RANSAC
+        (the System layer routes BoW candidates here when available)."""
+        cands = [k for k in self._recent_kfs(5)]
+        for k in cands:
+            m = matcher.match(
+                frame.feats.desc, frame.feats.valid, self.state.kf_desc[k],
+                self.state.kf_feat_valid[k] & (self.state.kf_feat_pt[k] >= 0),
+                max_dist=matcher.TH_LOW, ratio=0.75, mutual=True,
+            )
+            pt_idx = jnp.where(
+                m.valid, self.state.kf_feat_pt[k][jnp.maximum(m.idx, 0)], -1
+            )
+            if int(jnp.sum(pt_idx >= 0)) < 15:
+                continue
+            self._key, sub = jax.random.split(self._key)
+            res = pnp.solve_pnp_ransac(
+                self.cfg.cam, self.state.pt_pos[jnp.maximum(pt_idx, 0)],
+                frame.feats.xy,
+                1.0 / (1.2 ** (2.0 * frame.feats.level.astype(jnp.float32))),
+                (pt_idx >= 0) & frame.feats.valid, sub,
+            )
+            if bool(res.ok):
+                pt_final = jnp.where(res.inliers, pt_idx, -1)
+                return frame._replace(t_cw=res.t_cw, pt_idx=pt_final), True
+        return frame, False
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self) -> bool:
+        """`NeedNewKeyFrame` heuristics (:1059), simplified: time since last
+        KF, or tracked-point count dropping vs the reference KF."""
+        since = self.frame_id - self.last_kf_frame_id
+        if since >= self.cfg.tracking.max_frames_between_kf:
+            return True
+        if self.ref_kf >= 0:
+            ref_n = int(jnp.sum(self.state.kf_feat_pt[self.ref_kf] >= 0))
+            if self.n_inliers_last < 0.5 * max(ref_n, 1) and since >= 1:
+                return True
+        return self.n_inliers_last < 60 and since >= 1
+
+    def _local_kf_window(self) -> np.ndarray:
+        valid = np.nonzero(np.asarray(self.state.kf_valid))[0]
+        return valid[-self.cfg.map.local_window:] if len(valid) else \
+            np.zeros(0, np.int64)
+
+    def _recent_kfs(self, n: int):
+        valid = np.nonzero(np.asarray(self.state.kf_valid))[0]
+        return valid[-n:][::-1].tolist()
