@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Run the SLAM system over a sequence directory (the `dsp_slam` /
+`dsp_slam_mono` CLI role, reference `dsp_slam.cc:33`).
+
+Usage:
+  python tools/run_slam.py <sequence_dir> <out_dir> \
+      [--sensor stereo|rgbd|mono] [--yaml cfg.yaml] [--json cfg.json] \
+      [--labels labels_dir] [--deepsdf checkpoint.npz] [--max-frames N]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sequence")
+    ap.add_argument("out_dir")
+    ap.add_argument("--sensor", default="stereo",
+                    choices=["stereo", "rgbd", "mono"])
+    ap.add_argument("--yaml", default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--labels", default=None)
+    ap.add_argument("--deepsdf", default=None,
+                    help="decoder checkpoint (.npz native or torch exp dir)")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args()
+
+    from dsp_slam_rgbd_tpu import config as cfg_mod
+    from dsp_slam_rgbd_tpu.models import deepsdf
+    from dsp_slam_rgbd_tpu.system import sequence as seq_mod
+    from dsp_slam_rgbd_tpu.system.slam import SLAMSystem
+
+    if args.yaml:
+        cfg = cfg_mod.from_reference_yaml_json(args.yaml, args.json,
+                                               sensor=args.sensor)
+    else:
+        cfg = cfg_mod.SystemConfig(sensor=args.sensor)
+
+    params = spec = None
+    if args.deepsdf:
+        if args.deepsdf.endswith(".npz"):
+            params, spec = deepsdf.load_npz(args.deepsdf)
+        else:
+            params, spec = deepsdf.load_torch_checkpoint(args.deepsdf)
+
+    seq = seq_mod.get_sequence(args.sequence, cfg)
+    if args.labels:
+        seq.labels_dir = args.labels
+    system = SLAMSystem(cfg, decoder_params=params, decoder_spec=spec)
+
+    n = len(seq)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    times = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        dets = seq.detections(i) or None
+        if args.sensor == "stereo":
+            img_l, img_r = seq.frame(i)
+            system.track_stereo(img_l, img_r, timestamp=i / cfg.tracking.fps,
+                                detections=dets)
+        elif args.sensor == "rgbd":
+            img, dep = seq.frame(i)
+            system.track_rgbd(img, dep, timestamp=i / cfg.tracking.fps,
+                              detections=dets)
+        else:
+            img = seq.frame(i)
+            system.track_mono(img, timestamp=i / cfg.tracking.fps,
+                              detections=dets)
+        times.append(time.perf_counter() - t0)
+        if i % 25 == 0:
+            print(f"frame {i}/{n}  {times[-1]*1e3:.1f} ms  "
+                  f"status={system.tracker.status}  kf={system.n_kf}")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    system.save_trajectory_kitti(os.path.join(args.out_dir,
+                                              "CameraTrajectory.txt"))
+    system.save_trajectory_tum(os.path.join(args.out_dir,
+                                            "CameraTrajectory_TUM.txt"))
+    system.save_entire_map(args.out_dir)
+    med = sorted(times)[len(times) // 2] if times else 0.0
+    # reference prints median/mean track time at exit (`dsp_slam.cc:109-118`)
+    print(f"median tracking time: {med*1e3:.1f} ms "
+          f"({1.0/max(med,1e-9):.1f} FPS)")
+    print(f"mean tracking time: {sum(times)/max(len(times),1)*1e3:.1f} ms")
+    print(f"keyframes: {system.n_kf}, loop closures: {system.loop_closures}")
+
+
+if __name__ == "__main__":
+    main()
