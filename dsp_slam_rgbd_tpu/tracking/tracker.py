@@ -214,7 +214,7 @@ class Tracker:
         good = np.asarray(res.good)
         z = np.asarray(res.pts_w)[:, 2]
         med = np.median(z[good]) if good.any() else 1.0
-        t21 = np.asarray(res.t_21)
+        t21 = np.asarray(res.t_21).copy()
         t21[:3, 3] /= max(med, 1e-6)
         pts = np.asarray(res.pts_w) / max(med, 1e-6)
         self.init_result = {
