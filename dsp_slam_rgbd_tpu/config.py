@@ -50,6 +50,10 @@ class SystemConfig:
     detect_online: bool = False     # offline-label mode is first-class
     deepsdf_dir: str = ""
     voxels_dim: int = 32
+    # fork feature: ground-frame initialization from a known first camera
+    # pose (reference `Tracking.cc:759-794` + `Tworld_camera.*` yaml keys);
+    # 4x4 row-major T_wc of the first frame, or None for identity
+    t_world_camera0: tuple | None = None
 
 
 def _parse_opencv_yaml(path: str) -> dict:
@@ -93,6 +97,26 @@ def from_reference_yaml_json(yaml_path: str, json_path: str | None = None,
         th_depth=float(y.get("ThDepth", 35.0)),
         max_frames_between_kf=int(float(y.get("Camera.fps", 10.0))),
     )
+    # fork's ground-truth first pose (Tworld_camera.* keys in e.g.
+    # freiburg_001.yaml): translation + quaternion (x, y, z, w)
+    t_wc0 = None
+    if "Tworld_camera.tx" in y:
+        import numpy as _np
+
+        from dsp_slam_rgbd_tpu.ops import lie as _lie
+
+        q = _np.asarray([
+            float(y.get("Tworld_camera.qw", 1.0)),
+            float(y.get("Tworld_camera.qx", 0.0)),
+            float(y.get("Tworld_camera.qy", 0.0)),
+            float(y.get("Tworld_camera.qz", 0.0)),
+        ], _np.float32)
+        T = _np.eye(4, dtype=_np.float32)
+        T[:3, :3] = _np.asarray(_lie.quat_to_rot(q))
+        T[:3, 3] = [float(y["Tworld_camera.tx"]),
+                    float(y.get("Tworld_camera.ty", 0.0)),
+                    float(y.get("Tworld_camera.tz", 0.0))]
+        t_wc0 = tuple(map(tuple, T.tolist()))
     recon = ReconConfig()
     deepsdf_dir = ""
     voxels = 32
@@ -123,5 +147,5 @@ def from_reference_yaml_json(yaml_path: str, json_path: str | None = None,
         depth_scale=1.0 / float(y["DepthMapFactor"])
         if "DepthMapFactor" in y else 1.0,
         deepsdf_dir=deepsdf_dir, voxels_dim=voxels,
-        detect_online=detect_online,
+        detect_online=detect_online, t_world_camera0=t_wc0,
     )

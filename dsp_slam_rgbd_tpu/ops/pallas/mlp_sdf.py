@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused DeepSDF forward + input-Jacobian.
+
+The hot op of the whole system (SURVEY.md §7 step 3): SDF value and
+d(sdf)/d(code, xyz) for a batch of query points.  The stock XLA path
+(`models.deepsdf.sdf_and_input_jacobian`) runs 18 matmuls with HBM-resident
+intermediates; this kernel keeps the activation stack and the running
+gradient in VMEM for a whole point tile, so the backward sweep never touches
+HBM.
+
+Layout trick: all layers are padded to a uniform 512x512 so the kernel is a
+static 9-step loop.
+  * layer 0 input: [code, xyz] in columns 0..66, zeros elsewhere
+    (zero-padded weight rows make the padding inert);
+  * layer 3's 445 output columns are padded with zero columns, and before
+    layer 4 the kernel writes the raw input into columns 445..511 —
+    exactly the reference decoder's latent re-injection concat
+    (`deep_sdf_decoder.py:87-88`);
+  * layer 8's single output lives in column 0 of a padded 512-wide result.
+
+STATUS: numerically validated against the XLA path (interpret mode, see
+tests/test_pallas_mlp.py).  On this build machine the remote Mosaic compile
+service (axon tunnel) crashes/hangs compiling the kernel, so the XLA path
+remains the default hot path; wire this in via `use_fused_kernel` once a
+local TPU toolchain is available.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+D = 512
+IN_DIM = 67     # 64 code + 3 xyz
+SPLIT = 445     # layer-3 real output width (D − IN_DIM)
+N_LAYERS = 9
+TILE = 256
+
+
+def pack_params(params, spec) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pad the decoder layers into (9, 512, 512) W and (9, 512) b.
+
+    Requires the standard cars/chairs_64 architecture: latent 64, 8x512
+    dims, latent_in=(4,).
+    """
+    assert spec.latent_size + 3 == IN_DIM, "kernel assumes 64-d codes"
+    assert tuple(spec.latent_in) == (4,)
+    assert len(params["layers"]) == N_LAYERS
+    W = np.zeros((N_LAYERS, D, D), np.float32)
+    b = np.zeros((N_LAYERS, D), np.float32)
+    for i, (Wi, bi) in enumerate(params["layers"]):
+        wi = np.asarray(Wi)
+        W[i, : wi.shape[0], : wi.shape[1]] = wi
+        b[i, : wi.shape[1]] = np.asarray(bi)
+    return jnp.asarray(W), jnp.asarray(b)
+
+
+def _kernel(x_ref, w_ref, b_ref, sdf_ref, grad_ref, relu_ref):
+    """One tile: x (TILE, 512) padded inputs -> sdf (TILE, 1) +
+    input-gradient (TILE, 512) (columns 0..66 meaningful).
+
+    relu_ref: (8, TILE, D) bf16 scratch holding the ReLU masks — the only
+    forward residue the backward sweep needs.
+    """
+    inj_cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, D), 1) >= SPLIT
+    x = x_ref[:]  # (T, D)
+    h = x
+    for i in range(N_LAYERS):
+        if i == 4:
+            # latent re-injection: columns SPLIT.. get the raw input's
+            # first IN_DIM entries (static rotate-by-SPLIT via concat)
+            shifted = jnp.concatenate(
+                [x[:, D - SPLIT:], x[:, : D - SPLIT]], axis=1
+            )  # cols 0..66 -> 445..511
+            h = jnp.where(inj_cols, shifted, h)
+        pre = (
+            jnp.dot(h, w_ref[i], precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            + b_ref[i][None, :]
+        )
+        if i < N_LAYERS - 1:
+            h = jnp.maximum(pre, 0.0)
+            relu_ref[i] = (pre > 0.0).astype(jnp.bfloat16)
+        else:
+            h = pre
+    raw = h[:, 0:1]  # (T, 1) pre-tanh
+    sdf = jnp.tanh(raw)
+    sdf_ref[:] = sdf
+
+    # backward: d sdf / d input; g @ Wᵀ via dot_general (no transpose copy)
+    def dot_t(g, w):
+        return jax.lax.dot_general(
+            g, w, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, D), 1) == 0
+    g = jnp.where(col0, 1.0 - sdf * sdf, 0.0)  # broadcast (T,1) into col 0
+    extra = jnp.zeros((TILE, D), jnp.float32)  # grad via the re-injection
+    for i in range(N_LAYERS - 1, -1, -1):
+        if i < N_LAYERS - 1:
+            g = g * relu_ref[i].astype(jnp.float32)
+        gin = dot_t(g, w_ref[i])
+        if i == 4:
+            # split: columns >= SPLIT belong to the raw input (rotate back)
+            inj = jnp.where(inj_cols, gin, 0.0)
+            rolled_back = jnp.concatenate(
+                [inj[:, SPLIT:], inj[:, :SPLIT]], axis=1
+            )  # cols 445..511 -> 0..66
+            extra = extra + rolled_back
+            gin = jnp.where(inj_cols, 0.0, gin)
+        g = gin
+    grad_ref[:] = g + extra
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sdf_and_input_jacobian_fused(w_stack, b_stack, code, xyz,
+                                 interpret: bool = False):
+    """Fused query: code (64,), xyz (N, 3) -> (sdf (N,), jac (N, 67)).
+
+    N is padded to a TILE multiple internally.
+    """
+    n = xyz.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    x = jnp.zeros((n_pad, D), jnp.float32)
+    x = x.at[:n, :64].set(jnp.broadcast_to(code, (n, 64)))
+    x = x.at[:n, 64:67].set(xyz)
+
+    grid = n_pad // TILE
+    sdf, grad = pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((TILE, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_LAYERS, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_LAYERS, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, D), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((N_LAYERS - 1, TILE, D), jnp.bfloat16)],
+        interpret=interpret,
+    )(x, w_stack, b_stack)
+    return sdf[:n, 0], grad[:n, :IN_DIM]

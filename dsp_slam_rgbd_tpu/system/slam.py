@@ -47,6 +47,32 @@ class SLAMSystem:
         self.loop_closures = 0
         self._oobs_cursor = 0
         self._key = jax.random.PRNGKey(42)
+        self.localization_only = False
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Track against the frozen map, insert no keyframes (reference
+        `System::ActivateLocalizationMode`, `System.h:106`)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """Full system reset (reference `System::Reset` / `Tracking::Reset`
+        `Tracking.cc:1608`): clears map, database and tracker state."""
+        cfg = self.cfg
+        self.state = ms.empty(
+            max_kf=cfg.map.max_kf, max_feat=cfg.map.max_feat,
+            max_pts=cfg.map.max_pts, max_obj=cfg.map.max_obj,
+            code_len=cfg.recon.code_len, max_oobs=cfg.map.max_oobs,
+        )
+        self.tracker = Tracker(cfg, self.state)
+        if self.vocab is not None:
+            self.db = keyframe_db.empty(cfg.map.max_kf, self.vocab.n_words)
+        self.consistency = loop_closing.ConsistencyState()
+        self.n_kf = 0
+        self._oobs_cursor = 0
 
     # ------------------------------------------------------------------
     def track_stereo(self, img_left, img_right, timestamp=0.0,
@@ -67,6 +93,8 @@ class SLAMSystem:
         self.tracker.state = self.state
         out = self.tracker.track(img, img_right=img_right,
                                  depth_map=depth_map, timestamp=timestamp)
+        if self.localization_only:
+            return out
         if out["new_kf"]:
             if self.tracker.status == "OK" and self.n_kf == 0 \
                     and self.cfg.sensor == "mono" \

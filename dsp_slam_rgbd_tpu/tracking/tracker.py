@@ -180,11 +180,17 @@ class Tracker:
     # ------------------------------------------------------------------
     def _stereo_init(self, frame: Frame) -> bool:
         """Reference stereo init (`Tracking.cc:551-605`): need ≥500 features
-        with depth; spawn points directly (System handles map insertion)."""
+        with depth; spawn points directly (System handles map insertion).
+        If a ground-truth first pose is configured (fork's ground-frame
+        init, `Tracking.cc:759-794`), the map starts in that frame."""
         n_depth = int(jnp.sum((frame.depth > 0) & frame.feats.valid))
         if n_depth < 100:
             return False
-        self.last_frame = frame._replace(t_cw=jnp.eye(4))
+        t0 = jnp.eye(4)
+        if self.cfg.t_world_camera0 is not None:
+            t_wc = jnp.asarray(self.cfg.t_world_camera0, jnp.float32)
+            t0 = lie.inv_se3(t_wc)
+        self.last_frame = frame._replace(t_cw=t0)
         return True
 
     def _mono_init(self, frame: Frame) -> bool:

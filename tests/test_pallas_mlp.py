@@ -1,0 +1,38 @@
+"""Pallas fused decoder kernel vs the XLA reference path (interpret mode on
+CPU; the compiled path runs on real TPU in bench)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_slam_rgbd_tpu.models import deepsdf
+from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
+
+
+def test_fused_kernel_matches_xla():
+    spec = deepsdf.DecoderSpec()  # cars_64 arch
+    params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
+    W, b = mlp_sdf.pack_params(params, spec)
+
+    rng = np.random.default_rng(0)
+    code = jnp.asarray(rng.standard_normal(64) * 0.2, dtype=jnp.float32)
+    xyz = jnp.asarray(rng.standard_normal((300, 3)) * 0.5, dtype=jnp.float32)
+
+    sdf_ref, jac_ref = deepsdf.sdf_and_input_jacobian(params, spec, code, xyz)
+    sdf_k, jac_k = mlp_sdf.sdf_and_input_jacobian_fused(
+        W, b, code, xyz, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(sdf_k), np.asarray(sdf_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jac_k), np.asarray(jac_ref),
+                               atol=2e-4)
+
+
+def test_pack_params_shapes():
+    spec = deepsdf.DecoderSpec()
+    params = deepsdf.init_params(spec, jax.random.PRNGKey(1))
+    W, b = mlp_sdf.pack_params(params, spec)
+    assert W.shape == (9, 512, 512)
+    assert b.shape == (9, 512)
+    # padding rows/cols are zero
+    assert float(jnp.abs(W[0, 67:, :]).max()) == 0.0
+    assert float(jnp.abs(W[3, :, 445:]).max()) == 0.0
