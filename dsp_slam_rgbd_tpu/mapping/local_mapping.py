@@ -211,12 +211,20 @@ def cull_keyframes(state: ms.MapState, kf_slot: int,
 
 
 def build_local_ba_problem(state: ms.MapState, center_kf: int,
-                           max_kfs: int) -> ba.BAProblem:
+                           max_kfs: int, global_window: bool = False
+                           ) -> ba.BAProblem:
     """Assemble the fixed-capacity BA problem for the covisible window
-    (host control plane; the solve is `ba.local_ba`)."""
-    in_w, frontier, wpts = covis.local_window(state, center_kf, max_kfs)
-    in_w_np = np.asarray(in_w)
-    frontier_np = np.asarray(frontier)
+    (host control plane; the solve is `ba.local_ba`).  With
+    `global_window=True` every valid keyframe and point enters (the
+    GlobalJointBundleAdjustemnt problem)."""
+    if global_window:
+        in_w_np = np.asarray(state.kf_valid)
+        frontier_np = np.zeros_like(in_w_np)
+        wpts = state.pt_valid
+    else:
+        in_w, frontier, wpts = covis.local_window(state, center_kf, max_kfs)
+        in_w_np = np.asarray(in_w)
+        frontier_np = np.asarray(frontier)
     involved = in_w_np | frontier_np
     # gauge anchor: if the frontier is empty (early map: the window IS the
     # whole map), fix the oldest keyframe — the reference always fixes KF 0

@@ -165,6 +165,7 @@ class SLAMSystem:
 
         self.state = lm.local_ba_step(self.state, self.cfg.cam, slot,
                                       self.cfg.map.local_window)
+        self.state = lm.cull_keyframes(self.state, slot)
         self.tracker.ref_kf = slot
         self.tracker.last_kf_frame_id = self.tracker.frame_id
         self.n_kf += 1
@@ -299,6 +300,16 @@ class SLAMSystem:
             fix_scale=fix_scale,
         )
         self.state = loop_closing.fuse_duplicate_objects(self.state)
+        # global joint BA after the essential graph (the reference spawns
+        # RunGlobalJointBundleAdjustment in a thread; here it's the next
+        # stage of the same loop — XLA async dispatch gives the overlap)
+        prob = lm.build_local_ba_problem(self.state, kf_slot,
+                                         max_kfs=self.cfg.map.max_kf,
+                                         global_window=True)
+        from dsp_slam_rgbd_tpu.mapping import ba as ba_mod
+
+        gres = ba_mod.global_ba(self.cfg.cam, prob, n_iters=10)
+        self.state = lm.apply_ba_result(self.state, prob, gres)
         self.loop_closures += 1
 
     # ------------------------------------------------------------------
