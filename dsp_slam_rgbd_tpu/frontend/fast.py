@@ -124,6 +124,10 @@ def detect(img: jnp.ndarray, max_kp: int, cell: int = 16,
     cx = top_cell % cw
     iy = best_in_cell[top_cell] // cell
     ix = best_in_cell[top_cell] % cell
+    # NOTE: keypoints stay at integer positions like the reference's
+    # cv::FAST.  A quadratic fit on the FAST score map was tried and makes
+    # accuracy WORSE — the max-threshold score is piecewise-constant around
+    # corners, so the parabola fits plateau edges, adding ±0.5 px jitter.
     y = (cy * cell + iy).astype(jnp.float32)
     x = (cx * cell + ix).astype(jnp.float32)
     xy = jnp.stack([x, y], axis=-1)

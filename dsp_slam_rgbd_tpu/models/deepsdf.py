@@ -82,7 +82,8 @@ def init_params(spec: DecoderSpec, key: jax.Array, dtype=jnp.float32):
 
 
 def apply(params, spec: DecoderSpec, inputs: jnp.ndarray,
-          compute_dtype=jnp.float32) -> jnp.ndarray:
+          compute_dtype=jnp.float32,
+          precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """Forward pass: inputs (N, latent+3) -> sdf (N,).
 
     Mirrors reference forward semantics (`deep_sdf_decoder.py:85-110`):
@@ -101,7 +102,7 @@ def apply(params, spec: DecoderSpec, inputs: jnp.ndarray,
         if i in spec.latent_in:
             x = jnp.concatenate([x, inp], axis=-1)
         x = jnp.dot(x, W.astype(compute_dtype),
-                    precision=jax.lax.Precision.HIGH,
+                    precision=precision,
                     preferred_element_type=jnp.float32) + b.astype(jnp.float32)
         if i < n_layers - 1:
             x = jax.nn.relu(x)
@@ -113,13 +114,14 @@ def apply(params, spec: DecoderSpec, inputs: jnp.ndarray,
 
 
 def sdf(params, spec: DecoderSpec, code: jnp.ndarray, xyz: jnp.ndarray,
-        compute_dtype=jnp.float32) -> jnp.ndarray:
+        compute_dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """Query SDF at (N, 3) points with a single (latent,) code -> (N,)."""
     n = xyz.shape[0]
     inputs = jnp.concatenate(
         [jnp.broadcast_to(code, (n, code.shape[-1])), xyz], axis=-1
     )
-    return apply(params, spec, inputs, compute_dtype)
+    return apply(params, spec, inputs, compute_dtype, precision)
 
 
 def sdf_and_input_jacobian(params, spec: DecoderSpec, code: jnp.ndarray,

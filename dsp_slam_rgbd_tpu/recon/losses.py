@@ -64,6 +64,7 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
                         sampled_depths, code, th: float = 0.01,
                         max_grad_points: int = 2048,
                         max_valid_samples: int = 8192,
+                        fast_value_pass: bool = False,
                         compute_dtype=jnp.float32) -> RenderLossResult:
     """Depth-rendering term via ray termination probabilities.
 
@@ -98,7 +99,14 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
                              fill_value=R * M)
     pts_flat = pts_obj.reshape(-1, 3)
     pts_val = pts_flat[jnp.minimum(idx_val, R * M - 1)]
-    sdf_val = deepsdf.sdf(params, spec, code, pts_val, compute_dtype)
+    # The value-only pass feeds the occupancy ramp and band selection — no
+    # gradients flow through it.  1-pass bf16 MXU precision (DEFAULT) is
+    # enough there (the reference's torch/RTX path runs TF32 everywhere);
+    # the Jacobian pass below stays at 3-pass HIGH.
+    val_precision = (jax.lax.Precision.DEFAULT if fast_value_pass
+                     else jax.lax.Precision.HIGH)
+    sdf_val = deepsdf.sdf(params, spec, code, pts_val, compute_dtype,
+                          precision=val_precision)
     sdf_vals = (
         jnp.zeros(R * M + 1).at[idx_val].set(sdf_val, mode="drop")[:-1]
     ).reshape(R, M)

@@ -46,6 +46,11 @@ class ReconConfig(NamedTuple):
     pose_only_iterations: int = 5
     max_grad_points: int = 2048     # render-term Jacobian compaction capacity
     max_valid_samples: int = 8192   # render-term value-pass compaction capacity
+    # 1-pass bf16 MXU for the no-grad SDF value pass: ~15% faster per recon
+    # but the bf16 error (~1e-2 on tanh outputs) is comparable to the ±0.01
+    # occupancy band, distorting sample selection — OFF by default until
+    # validated against real trained decoder weights.
+    fast_value_pass: bool = False
 
 
 class ReconResult(NamedTuple):
@@ -94,6 +99,7 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
             params, spec, rays, ray_mask, depth_eff, t_obj_cam, sampled, code,
             th=cfg.cut_off_threshold, max_grad_points=cfg.max_grad_points,
             max_valid_samples=cfg.max_valid_samples,
+            fast_value_pass=cfg.fast_value_pass,
             compute_dtype=compute_dtype,
         )
         rr_ren, ren_loss, _ = robust.robust_residuals(ren.res, cfg.b1, ren.mask)
