@@ -122,6 +122,26 @@ def l1_score(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
 
 
+def save_npz(path: str, vocab: Vocabulary):
+    """Persist a trained vocabulary (the role of the reference's
+    ORBvoc.bin artifact, loaded at `System.cc:80`)."""
+    flat = {"branching": np.asarray(vocab.branching),
+            "depth": np.asarray(vocab.depth)}
+    for i, c in enumerate(vocab.centroids):
+        flat[f"level{i}"] = np.asarray(c)
+    np.savez_compressed(path, **flat)
+
+
+def load_npz(path: str) -> Vocabulary:
+    z = np.load(path)
+    depth = int(z["depth"])
+    return Vocabulary(
+        centroids=tuple(jnp.asarray(z[f"level{i}"]) for i in range(depth)),
+        branching=int(z["branching"]),
+        depth=depth,
+    )
+
+
 def compute_idf(bow_counts: jnp.ndarray, kf_valid: jnp.ndarray) -> jnp.ndarray:
     """idf over a (K, W) per-KF word count/presence matrix."""
     present = (bow_counts > 0) & kf_valid[:, None]

@@ -19,9 +19,10 @@ static 9-step loop.
 
 STATUS: numerically validated against the XLA path (interpret mode, see
 tests/test_pallas_mlp.py).  On this build machine the remote Mosaic compile
-service (axon tunnel) crashes/hangs compiling the kernel, so the XLA path
-remains the default hot path; wire this in via `use_fused_kernel` once a
-local TPU toolchain is available.
+service (axon tunnel) crashes (SIGILL) or hangs on ANY pallas_call — even a
+trivial x*2 kernel — so Pallas compilation is environmentally unavailable
+here and the XLA path remains the default hot path.  Wire this kernel in
+once a machine with a working TPU toolchain is available.
 """
 from __future__ import annotations
 
