@@ -272,8 +272,12 @@ def build_local_ba_problem(state: ms.MapState, center_kf: int,
             [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
         )
 
+    # dynamic objects do not enter BA (the reference only adds static
+    # objects' relative-pose edges to the joint problem)
     oobs_valid = np.asarray(state.oobs_valid) & involved[
         np.maximum(np.asarray(state.oobs_kf), 0)
+    ] & ~np.asarray(state.obj_dynamic)[
+        np.maximum(np.asarray(state.oobs_obj), 0)
     ]
     # observability guard: a point may only be optimized if its in-problem
     # edges determine it — ≥2 observations, or ≥1 stereo (3-row) observation

@@ -48,6 +48,24 @@ class SLAMSystem:
         self._oobs_cursor = 0
         self._key = jax.random.PRNGKey(42)
         self.localization_only = False
+        if self.db is not None:
+            self.tracker.reloc_candidates_fn = self._reloc_candidates
+
+    def _reloc_candidates(self, frame, top_k: int = 5):
+        """BoW retrieval for relocalization (DetectRelocalizationCandidates
+        role)."""
+        import numpy as _np
+
+        from dsp_slam_rgbd_tpu.mapping import covisibility as _covis
+
+        w = vocabulary.quantize(self.vocab, frame.feats.desc,
+                                frame.feats.valid)
+        q = vocabulary.bow_vector(w, self.vocab.n_words)
+        W = _covis.covisibility_matrix(self.state)
+        keep, scores = keyframe_db.detect_reloc_candidates(self.db, q, W)
+        s = _np.where(_np.asarray(keep), _np.asarray(scores), -1.0)
+        order = _np.argsort(-s)[:top_k]
+        return [int(k) for k in order if s[k] > 0]
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
@@ -313,19 +331,34 @@ class SLAMSystem:
         self.loop_closures += 1
 
     # ------------------------------------------------------------------
+    def _frame_poses(self):
+        """Per-frame poses composed from CURRENT keyframe poses via the
+        stored relative transforms — BA and loop-closure corrections
+        propagate into saved trajectories (reference
+        `System::SaveTrajectoryTUM/KITTI`, System.cc:380-525)."""
+        rel = self.tracker.relative_trajectory
+        if rel:
+            kf_poses = np.asarray(self.state.kf_pose)
+            ts = np.asarray([t for t, _, _, _ in rel])
+            poses = np.stack([
+                t_rel @ kf_poses[ref] for _, ref, t_rel, _ in rel
+            ])
+            ok = np.asarray([o for _, _, _, o in rel], bool)
+            return ts, poses, ok
+        traj = self.tracker.trajectory
+        if not traj:
+            return np.zeros(0), np.zeros((0, 4, 4)), np.zeros(0, bool)
+        ts = np.asarray([t for t, _, _ in traj])
+        poses = np.stack([p for _, p, _ in traj])
+        ok = np.asarray([o for _, _, o in traj], bool)
+        return ts, poses, ok
+
     def save_trajectory_kitti(self, path: str):
-        poses = np.stack([p for _, p, _ in self.tracker.trajectory]) \
-            if self.tracker.trajectory else np.zeros((0, 4, 4))
-        ok = np.asarray([o for _, _, o in self.tracker.trajectory], bool) \
-            if self.tracker.trajectory else np.zeros(0, bool)
+        _, poses, ok = self._frame_poses()
         io_mod.save_trajectory_kitti(path, poses, ok)
 
     def save_trajectory_tum(self, path: str):
-        poses = np.stack([p for _, p, _ in self.tracker.trajectory]) \
-            if self.tracker.trajectory else np.zeros((0, 4, 4))
-        ts = np.asarray([t for t, _, _ in self.tracker.trajectory])
-        ok = np.asarray([o for _, _, o in self.tracker.trajectory], bool) \
-            if self.tracker.trajectory else np.zeros(0, bool)
+        ts, poses, ok = self._frame_poses()
         io_mod.save_trajectory_tum(path, poses, ts, ok)
 
     def save_entire_map(self, dirname: str):

@@ -99,9 +99,19 @@ class Tracker:
         self.last_kf_frame_id = -1
         self.frame_id = -1
         self.init_ref: Optional[Frame] = None  # mono initialization anchor
-        self.trajectory = []             # (timestamp, T_cw, ok) per frame
+        # (timestamp, T_cw, ok) per frame — absolute at track time
+        self.trajectory = []
+        # (timestamp, ref_kf_slot, T_rel = T_cw·T_ref⁻¹, ok): the reference
+        # stores frame poses relative to their reference keyframe so BA and
+        # loop corrections retroactively improve saved trajectories
+        # (`System::SaveTrajectoryTUM`, System.cc:380-420)
+        self.relative_trajectory = []
         self.n_inliers_last = 0
         self._key = jax.random.PRNGKey(0)
+        # optional place-recognition hook: frame -> candidate KF slots
+        # (installed by the System when a BoW database exists — the
+        # `DetectRelocalizationCandidates` path, KeyFrameDatabase.cc:199)
+        self.reloc_candidates_fn = None
 
     # ------------------------------------------------------------------
     def make_frame(self, img, img_right=None, depth_map=None,
@@ -171,6 +181,13 @@ class Tracker:
         if ok and self.last_frame is not None:
             self.velocity = frame.t_cw @ lie.inv_se3(self.last_frame.t_cw)
         self.trajectory.append((timestamp, np.asarray(frame.t_cw), ok))
+        if self.ref_kf >= 0:
+            t_rel = np.asarray(
+                frame.t_cw @ lie.inv_se3(self.state.kf_pose[self.ref_kf])
+            )
+            self.relative_trajectory.append(
+                (timestamp, self.ref_kf, t_rel, ok)
+            )
         self.last_frame = frame
         out["frame"] = frame
         out["ok"] = ok
@@ -307,9 +324,14 @@ class Tracker:
         return frame, n
 
     def _relocalize(self, frame: Frame):
-        """BoW-free relocalization: match against recent KFs + PnP RANSAC
-        (the System layer routes BoW candidates here when available)."""
-        cands = [k for k in self._recent_kfs(5)]
+        """Relocalization: BoW candidates (when the System installed a
+        database hook) or recent KFs, then per-candidate descriptor match +
+        PnP RANSAC (reference `Tracking::Relocalization`, Tracking.cc:1445)."""
+        if self.reloc_candidates_fn is not None:
+            cands = list(self.reloc_candidates_fn(frame)) \
+                or self._recent_kfs(5)
+        else:
+            cands = [k for k in self._recent_kfs(5)]
         for k in cands:
             m = matcher.match(
                 frame.feats.desc, frame.feats.valid, self.state.kf_desc[k],
