@@ -21,6 +21,11 @@ BASELINE_RECON_PER_S = 10.0
 
 def main():
     import jax
+
+    # persistent compile cache: repeated driver runs skip the ~1 min
+    # remote compilation of the reconstruction program
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from dsp_slam_rgbd_tpu.models import deepsdf
