@@ -114,13 +114,26 @@ class SLAMSystem:
         if self.localization_only:
             return out
         if out["new_kf"]:
-            if self.tracker.status == "OK" and self.n_kf == 0 \
+            first_kf = self.n_kf == 0
+            if self.tracker.status == "OK" and first_kf \
                     and self.cfg.sensor == "mono" \
                     and hasattr(self.tracker, "init_result"):
                 self._insert_mono_init()
             else:
                 self._insert_keyframe(out["frame"], detections)
             self.tracker.state = self.state
+            if first_kf and self.tracker.ref_kf >= 0 \
+                    and not self.tracker.relative_trajectory:
+                # backfill the init frame into the relative trajectory (its
+                # reference KF did not exist yet at track time)
+                frame = out["frame"]
+                t_rel = np.asarray(
+                    frame.t_cw
+                    @ lie.inv_se3(self.state.kf_pose[self.tracker.ref_kf])
+                )
+                self.tracker.relative_trajectory.append(
+                    (timestamp, self.tracker.ref_kf, t_rel, True)
+                )
         return out
 
     # ------------------------------------------------------------------

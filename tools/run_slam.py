@@ -48,6 +48,9 @@ def main():
             params, spec = deepsdf.load_torch_checkpoint(args.deepsdf)
 
     seq = seq_mod.get_sequence(args.sequence, cfg)
+    if len(seq) == 0:
+        sys.exit(f"error: no frames found in sequence dir {args.sequence!r} "
+                 "(expected image_2/ + image_3/, rgb/ + depth/, or images)")
     if args.labels:
         seq.labels_dir = args.labels
     system = SLAMSystem(cfg, decoder_params=params, decoder_spec=spec)
