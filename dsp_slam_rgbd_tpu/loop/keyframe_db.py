@@ -26,6 +26,14 @@ class BowDatabase(NamedTuple):
             kf_valid=self.kf_valid.at[kf_slot].set(True),
         )
 
+    def remove(self, kf_slot: int):
+        """Purge a culled keyframe (reference `KeyFrameDatabase::erase`) —
+        otherwise dead slots keep surfacing as loop/reloc candidates."""
+        return self._replace(
+            bow=self.bow.at[kf_slot].set(0.0),
+            kf_valid=self.kf_valid.at[kf_slot].set(False),
+        )
+
 
 def empty(max_kf: int, n_words: int) -> BowDatabase:
     return BowDatabase(jnp.zeros((max_kf, n_words)),

@@ -119,6 +119,12 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
     # the current KF before fusion)
     group = group.at[kf_c].set(False)
 
+    # keep the PRE-correction poses: pose-graph edge measurements must come
+    # from the uncorrected relative estimates (the reference's
+    # NonCorrectedSim3) or every residual is zero post-warp and the graph
+    # optimization becomes a no-op that never distributes drift
+    poses_uncorrected = state.kf_pose
+
     S_old = state.kf_pose[kf_q]
     S_corr = t_qc_corrected @ state.kf_pose[kf_c]
     delta = S_corr @ lie.inv_sim3(S_old)  # world-side correction (Sim3)
@@ -174,13 +180,14 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
                 ei.append(int(a)); ej.append(int(b))
     ei.append(int(kf_c)); ej.append(int(kf_q))  # the loop edge
 
-    poses = state.kf_pose
+    poses = state.kf_pose  # post-warp initialization for the optimizer
     meas = []
     for a, b in zip(ei, ej):
         if (a, b) == (int(kf_c), int(kf_q)):
             meas.append(t_qc_corrected)  # measured relative from Sim3 solve
         else:
-            meas.append(pose_graph.relative_sim3(poses[b], poses[a]))
+            meas.append(pose_graph.relative_sim3(poses_uncorrected[b],
+                                                 poses_uncorrected[a]))
     meas = jnp.stack(meas)
 
     fixed = jnp.zeros(K, bool).at[kf_c].set(True)
@@ -203,7 +210,15 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
     ) + jax.vmap(lie.inv_sim3)(T_new)[:, :3, 3]
     new_pts2 = jnp.where(state.pt_valid[:, None] & (state.pt_ref_kf >= 0)[:, None],
                          moved, state.pt_pos)
-    return state._replace(kf_pose=res.poses, pt_pos=new_pts2)
+
+    # recover SE(3) keyframe poses from the Sim(3) result: [sR, t] ->
+    # [R, t/s] (the reference's essential-graph recover step) — downstream
+    # code (trajectory writers, inv_se3) assumes orthonormal rotations
+    s_out = jax.vmap(lie.sim3_scale)(res.poses)
+    poses_se3 = res.poses.at[:, :3, :3].multiply(
+        (1.0 / s_out)[:, None, None]
+    ).at[:, :3, 3].multiply((1.0 / s_out)[:, None])
+    return state._replace(kf_pose=poses_se3, pt_pos=new_pts2)
 
 
 def fuse_duplicate_objects(state: ms.MapState, dist_th: float = 1.5

@@ -187,9 +187,13 @@ def cull_points(state: ms.MapState, current_kf: int,
 
 
 def cull_keyframes(state: ms.MapState, kf_slot: int,
-                   redundancy: float = 0.9) -> ms.MapState:
+                   redundancy: float = 0.9):
     """KeyFrameCulling (:684): a local KF whose points are ≥90% seen by ≥3
-    other KFs is removed."""
+    other KFs is removed.  Returns (state, culled_slot or −1) — the caller
+    must purge the slot from the BoW database and re-anchor any frame
+    trajectory entries referencing it (the reference re-parents frames to
+    the spanning tree on culling).  The culled slot's pose array entry is
+    left intact so re-anchoring can read it."""
     M = ms.membership_matrix(state)
     n_obs = jnp.sum(M, axis=0)  # (P,)
     W = covis.covisibility_matrix(state)
@@ -206,8 +210,8 @@ def cull_keyframes(state: ms.MapState, kf_slot: int,
                 kf_valid=state.kf_valid.at[k].set(False),
                 kf_feat_pt=assoc,
             )
-            break  # at most one per round, like the reference loop exit
-    return state
+            return state, k  # at most one per round, like the reference
+    return state, -1
 
 
 def build_local_ba_problem(state: ms.MapState, center_kf: int,

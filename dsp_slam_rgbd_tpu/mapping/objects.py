@@ -86,11 +86,13 @@ def cuboid_from_points_pca(pts_w: jnp.ndarray, mask: jnp.ndarray,
     ey = jnp.cross(ez, ex)
     R = jnp.stack([ex, ey, ez], axis=1)  # columns = object axes in world
     R = R * jnp.sign(jnp.linalg.det(R))
-    # extents via 5-95 percentiles along axes
+    # extents via 5-95 percentiles along axes; padding slots become NaN so
+    # they cannot drag the quantiles toward zero
     local = (pts_w - c) @ R
-    lo = jnp.quantile(jnp.where(mask[:, None], local, 0.0), 0.05, axis=0)
-    hi = jnp.quantile(jnp.where(mask[:, None], local, 0.0), 0.95, axis=0)
-    extent = hi - lo
+    local_masked = jnp.where(mask[:, None], local, jnp.nan)
+    lo = jnp.nanquantile(local_masked, 0.05, axis=0)
+    hi = jnp.nanquantile(local_masked, 0.95, axis=0)
+    extent = jnp.where(jnp.isfinite(hi - lo), hi - lo, 0.0)
     scale = 0.4 * jnp.max(extent)
     return Cuboid(lie.rt_to_mat(R, c), scale, extent)
 

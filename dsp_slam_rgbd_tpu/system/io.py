@@ -85,7 +85,7 @@ def load_map_objects(path: str):
     ids, poses, codes = [], [], []
     lines = [ln.strip() for ln in open(path) if ln.strip()]
     i = 0
-    while i + 2 < len(lines) + 1 and i + 2 <= len(lines):
+    while i + 2 < len(lines):  # need id + pose row + code row
         ids.append(int(lines[i]))
         vals = np.fromstring(lines[i + 1], sep=" ")
         T = np.eye(4, dtype=np.float32)

@@ -60,9 +60,10 @@ class KittiSequence:
         T = np.eye(4, dtype=np.float32)
         if "Tr" in vals:
             T[:3, :] = vals["Tr"].reshape(3, 4)
-        # KITTI: x_cam2 = P2 [R|t]_velo→cam0; the cam2 origin offset folds in
+        # cam0→cam2 offset folds into T_cam_velo = T_cam2_cam0 · T_cam0_velo
+        # (reference `kitti_sequence.py:250-254`: offset = +P2[0,3]/P2[0,0])
         offset = np.eye(4, dtype=np.float32)
-        offset[0, 3] = -P2[0, 3] / P2[0, 0]
+        offset[0, 3] = P2[0, 3] / P2[0, 0]
         return P2, (offset @ T).astype(np.float32)
 
     def __len__(self):

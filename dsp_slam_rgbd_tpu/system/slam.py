@@ -111,6 +111,8 @@ class SLAMSystem:
         self.tracker.state = self.state
         out = self.tracker.track(img, img_right=img_right,
                                  depth_map=depth_map, timestamp=timestamp)
+        # the tracker updates per-point found/visible statistics
+        self.state = self.tracker.state
         if self.localization_only:
             return out
         if out["new_kf"]:
@@ -196,7 +198,9 @@ class SLAMSystem:
 
         self.state = lm.local_ba_step(self.state, self.cfg.cam, slot,
                                       self.cfg.map.local_window)
-        self.state = lm.cull_keyframes(self.state, slot)
+        self.state, culled = lm.cull_keyframes(self.state, slot)
+        if culled >= 0:
+            self._on_keyframe_culled(culled, fallback=slot)
         self.tracker.ref_kf = slot
         self.tracker.last_kf_frame_id = self.tracker.frame_id
         self.n_kf += 1
@@ -239,7 +243,9 @@ class SLAMSystem:
                 obj_n_obs=self.state.obj_n_obs.at[o].add(1),
                 obj_last_kf=self.state.obj_last_kf.at[o].set(kf_slot),
                 obj_velocity=self.state.obj_velocity.at[o].set(v),
+                obj_dynamic=self.state.obj_dynamic.at[o].set(dyn),
             )
+            self._assign_point_membership(int(o))
 
         for d in np.nonzero(unmatched)[0]:
             det = detections[int(d)]
@@ -270,12 +276,45 @@ class SLAMSystem:
                 obj_last_kf=self.state.obj_last_kf.at[slot].set(kf_slot),
             )
             self._add_object_obs(slot, kf_slot, t_co_se3)
+            self._assign_point_membership(slot)
 
         keep = obj_mod.cull_objects(
             self.state.obj_valid, self.state.obj_n_obs,
             self.state.obj_last_kf, kf_slot,
         )
         self.state = self.state._replace(obj_valid=keep)
+
+    def _on_keyframe_culled(self, culled: int, fallback: int):
+        """Purge a culled KF from the BoW database and re-anchor trajectory
+        entries that referenced it (its slot may be reused later; the
+        reference re-parents frames to the spanning tree on culling)."""
+        if self.db is not None:
+            self.db = self.db.remove(culled)
+        T_culled = np.asarray(self.state.kf_pose[culled])
+        T_new = np.asarray(self.state.kf_pose[fallback])
+        T_new_inv = np.asarray(lie.inv_se3(jnp.asarray(T_new)))
+        rel = self.tracker.relative_trajectory
+        for i, (ts, ref, t_rel, ok) in enumerate(rel):
+            if ref == culled:
+                rel[i] = (ts, fallback, t_rel @ T_culled @ T_new_inv, ok)
+        if self.tracker.ref_kf == culled:
+            self.tracker.ref_kf = fallback
+
+    def _assign_point_membership(self, obj_slot: int):
+        """Tag map points inside the object's normalized volume as members
+        (the fork's `object_id`/`in_any_object`, MapPoint_util.cc:23-31 —
+        feeds NBV uncertainty scoring and outlier handling)."""
+        st = self.state
+        T_ow = lie.inv_se3(st.obj_pose[obj_slot])
+        local = lie.transform_points(T_ow, st.pt_pos) / jnp.maximum(
+            st.obj_scale[obj_slot], 1e-6
+        )
+        inside = jnp.all(jnp.abs(local) <= 1.1, axis=-1) & st.pt_valid
+        claim = inside & ((st.pt_object < 0) | (st.pt_object == obj_slot))
+        release = (st.pt_object == obj_slot) & ~inside
+        new_owner = jnp.where(claim, obj_slot, st.pt_object)
+        new_owner = jnp.where(release, -1, new_owner)
+        self.state = st._replace(pt_object=new_owner.astype(jnp.int32))
 
     def _add_object_obs(self, obj_slot: int, kf_slot: int, t_co):
         q = self._oobs_cursor % self.state.oobs_kf.shape[0]

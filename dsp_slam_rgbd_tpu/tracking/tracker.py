@@ -177,9 +177,15 @@ class Tracker:
             ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
             self.n_inliers_last = n_tracked
 
+        was_lost = self.status == "LOST"
         self.status = "OK" if ok else "LOST"
-        if ok and self.last_frame is not None:
+        if ok and self.last_frame is not None and not was_lost:
             self.velocity = frame.t_cw @ lie.inv_se3(self.last_frame.t_cw)
+        elif was_lost:
+            # the previous frame's pose is meaningless after a loss: a
+            # velocity computed against it poisons the motion model for
+            # every frame following a relocalization
+            self.velocity = jnp.eye(4)
         self.trajectory.append((timestamp, np.asarray(frame.t_cw), ok))
         if self.ref_kf >= 0:
             t_rel = np.asarray(
@@ -321,6 +327,18 @@ class Tracker:
         pt_merged = jnp.where(pt_global >= 0, pt_global, frame.pt_idx)
         frame, n = self._pose_from_matches(frame, pt_merged, pt_merged >= 0,
                                            frame.t_cw)
+        # found/visible statistics (MapPoint::IncreaseVisible/Found — drives
+        # the found-ratio culling): candidates in view count as visible,
+        # pose-opt inliers as found
+        P = self.state.pt_pos.shape[0]
+        vis_idx = jnp.where(mask, idx, P)
+        visible = jnp.zeros(P + 1, jnp.int32).at[vis_idx].add(1)[:P]
+        found_idx = jnp.where(frame.pt_idx >= 0, frame.pt_idx, P)
+        found = jnp.zeros(P + 1, jnp.int32).at[found_idx].add(1)[:P]
+        self.state = self.state._replace(
+            pt_visible=self.state.pt_visible + visible,
+            pt_found=self.state.pt_found + found,
+        )
         return frame, n
 
     def _relocalize(self, frame: Frame):
