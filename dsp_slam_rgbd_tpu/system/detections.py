@@ -74,6 +74,46 @@ def crop_lidar_to_box(velo_cam: np.ndarray, t_co: np.ndarray, extent,
     return velo_cam[sel]
 
 
+def mono_detection_from_mask(mask: np.ndarray, invK: np.ndarray,
+                             feats_xy=None, erode: int = 2,
+                             n_bg: int = 200, rng=None):
+    """Assemble a monocular detection from a 2D instance mask
+    (reference `Tracking::GetObjectDetectionsMono`, Tracking_util.cc:163-208:
+    mask erosion, keypoints-in-mask, background-pixel rays).
+
+    Returns (keypoint_indices_in_mask, bg_rays (M, 3)); the caller seeds the
+    pose from the PCA cuboid of the owned map points (mono path).
+    """
+    m = np.asarray(mask, bool)
+    if erode > 0:
+        from scipy.ndimage import binary_erosion
+
+        m = binary_erosion(m, iterations=erode)
+    ys, xs = np.nonzero(m)
+    if len(xs) == 0:
+        return np.zeros(0, np.int64), np.zeros((0, 3), np.float32)
+    # background pixels come from an inflated bbox around the mask (the
+    # detector's 2D box in the reference is larger than the instance mask)
+    h_img, w_img = m.shape
+    bw, bh = xs.max() - xs.min(), ys.max() - ys.min()
+    mx, my = max(int(0.2 * bw), 4), max(int(0.2 * bh), 4)
+    bbox = (max(xs.min() - mx, 0), max(ys.min() - my, 0),
+            min(xs.max() + 1 + mx, w_img), min(ys.max() + 1 + my, h_img))
+    bg = sample_background_rays(bbox, m, invK, n_bg=n_bg, rng=rng)
+
+    kp_in = np.zeros(0, np.int64)
+    if feats_xy is not None:
+        pix = np.round(np.asarray(feats_xy)).astype(int)
+        ok = (
+            (pix[:, 0] >= 0) & (pix[:, 0] < m.shape[1])
+            & (pix[:, 1] >= 0) & (pix[:, 1] < m.shape[0])
+        )
+        inside = np.zeros(len(pix), bool)
+        inside[ok] = m[pix[ok, 1], pix[ok, 0]]
+        kp_in = np.nonzero(inside)[0]
+    return kp_in, bg
+
+
 def sample_background_rays(bbox, mask, invK, n_bg: int = 200, rng=None):
     """Sample non-object pixels inside the 2D box and lift to rays
     (reference `pixels_sampler` `kitti_sequence.py:70-92`)."""

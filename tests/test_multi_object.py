@@ -1,0 +1,77 @@
+"""Multiple objects + a moving (dynamic) object through the full system:
+association keeps identities apart, the mover is classified dynamic,
+excluded from BA and from MapObjects.txt export."""
+import numpy as np
+import jax.numpy as jnp
+
+from dsp_slam_rgbd_tpu.models import deepsdf
+from dsp_slam_rgbd_tpu.system.detections import make_detection
+from dsp_slam_rgbd_tpu.system.slam import SLAMSystem
+
+from test_system_e2e import BASELINE, STEP, make_cfg, make_texture, render
+
+CODE_LEN = 4
+
+
+def sphere_fn(params, inputs):
+    xyz = inputs[..., CODE_LEN:]
+    r = 0.5 + 0.2 * inputs[..., 0]
+    return jnp.linalg.norm(xyz, axis=-1) - r
+
+
+SPEC = deepsdf.AnalyticSdfSpec(latent_size=CODE_LEN, fn=sphere_fn)
+
+
+def detection_for(obj_world_t, cam_x, rng):
+    t_cw = np.eye(4, dtype=np.float32)
+    t_cw[0, 3] = -cam_x
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = obj_world_t
+    t_co = t_cw @ T
+    d = rng.standard_normal((100, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts_cam = (d * 0.5) @ t_co[:3, :3].T + t_co[:3, 3]
+    vis = pts_cam[pts_cam[:, 2] > 0][:64]
+    depths = np.linalg.norm(vis, axis=1)
+    rays = vis / depths[:, None]
+    return make_detection(t_co, pts=pts_cam, rays=rays, depth=depths,
+                          n_fg=len(rays))
+
+
+def test_multi_object_and_dynamics(tmp_path):
+    texture = make_texture(np.random.default_rng(0))
+    rng = np.random.default_rng(1)
+    sys_ = SLAMSystem(make_cfg(), decoder_params={"layers": []},
+                      decoder_spec=SPEC)
+    for i in range(12):
+        x = i * STEP
+        mover_x = -1.0 + 0.45 * (i // 4)  # jumps ~0.45 m between keyframes
+        dets = [
+            detection_for([1.0, 0.0, 6.0], x, rng),     # static A
+            detection_for([-1.5, 0.0, 7.5], x, rng),    # static B
+            detection_for([mover_x, 0.3, 5.0], x, rng), # dynamic C
+        ]
+        sys_.track_stereo(render(texture, x), render(texture, x + BASELINE),
+                          timestamp=i * 0.1, detections=dets)
+
+    valid = np.asarray(sys_.state.obj_valid)
+    assert valid.sum() == 3
+    centers = np.asarray(sys_.state.obj_pose)[valid][:, :3, 3]
+    dyn = np.asarray(sys_.state.obj_dynamic)[valid]
+
+    # identify objects by nearest expected center
+    d_a = np.linalg.norm(centers - [1.0, 0.0, 6.0], axis=1)
+    d_b = np.linalg.norm(centers - [-1.5, 0.0, 7.5], axis=1)
+    ia, ib = int(np.argmin(d_a)), int(np.argmin(d_b))
+    assert ia != ib
+    assert d_a[ia] < 0.3 and d_b[ib] < 0.3
+    assert not dyn[ia] and not dyn[ib]
+    ic = ({0, 1, 2} - {ia, ib}).pop()
+    assert dyn[ic]  # the mover got classified dynamic
+
+    # export excludes the dynamic object
+    sys_.save_entire_map(str(tmp_path))
+    from dsp_slam_rgbd_tpu.system.io import load_map_objects
+
+    ids, poses, codes = load_map_objects(str(tmp_path / "MapObjects.txt"))
+    assert len(ids) == 2

@@ -36,6 +36,26 @@ def test_mesh_creation():
     assert m2.shape == {"obj": 4, "ray": 2}
 
 
+def test_sharded_ba_matches_single_device():
+    from dsp_slam_rgbd_tpu.mapping import ba
+    from dsp_slam_rgbd_tpu.parallel import sharded_ba
+    from test_mapping import CAM, pose_errors, sim_ba_problem
+
+    rng = np.random.default_rng(11)
+    prob, kf_true, pts_true, _ = sim_ba_problem(rng, stereo=True)
+    ref = ba.local_ba(CAM, prob)
+
+    m = meshmod.make_mesh(n_obj=1, n_ray=8)
+    out = sharded_ba.run_sharded_ba(CAM, prob, m)
+    # same optimum (reduction order may differ slightly)
+    np.testing.assert_allclose(np.asarray(out.kf_pose),
+                               np.asarray(ref.kf_pose), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.pts), np.asarray(ref.pts),
+                               atol=1e-3)
+    err = pose_errors(np.asarray(out.kf_pose), kf_true)
+    assert err.mean() < 0.02
+
+
 def test_sharded_recon_matches_single_device():
     cfg = ReconConfig(code_len=CODE_LEN, num_iterations=3, k4=0.0,
                       cut_off_threshold=0.05, b2=0.05, max_grad_points=256)
