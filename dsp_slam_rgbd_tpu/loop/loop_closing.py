@@ -221,6 +221,63 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
     return state._replace(kf_pose=poses_se3, pt_pos=new_pts2)
 
 
+def fuse_duplicate_points(state: ms.MapState, group_q: jnp.ndarray,
+                          group_c: jnp.ndarray, radius: float = 0.15,
+                          max_hamming: int = 50) -> ms.MapState:
+    """Merge duplicate map points after a loop correction
+    (`SearchAndFuse` role, `LoopClosing_util.cc:175`): points created on the
+    revisit (seen by the query group) that coincide with older points from
+    the loop side (within `radius`, descriptors within `max_hamming`) are
+    replaced — observations repoint to the older landmark.
+
+    group_q / group_c: (K,) bool masks of the two keyframe groups.
+    """
+    from dsp_slam_rgbd_tpu.frontend import matcher as matcher_mod
+
+    M = ms.membership_matrix(state)
+    pts_q = jnp.any(M & group_q[:, None], axis=0) & state.pt_valid
+    pts_c = jnp.any(M & group_c[:, None], axis=0) & state.pt_valid
+    pts_q = pts_q & ~pts_c  # only revisit-side duplicates die
+
+    # compact both sides (a dense P x P matrix would be O(GB) at capacity)
+    CAP = 2048
+    P = state.pt_pos.shape[0]
+    (iq,) = jnp.nonzero(pts_q, size=CAP, fill_value=P)
+    (ic,) = jnp.nonzero(pts_c, size=CAP, fill_value=P)
+    live_q = iq < P
+    live_c = ic < P
+    iq_s = jnp.minimum(iq, P - 1)
+    ic_s = jnp.minimum(ic, P - 1)
+    pq = state.pt_pos[iq_s]
+    pc = state.pt_pos[ic_s]
+    d2 = jnp.sum((pq[:, None, :] - pc[None, :, :]) ** 2, axis=-1)
+    ham = matcher_mod.hamming_matrix(state.pt_desc[iq_s],
+                                     state.pt_desc[ic_s])
+    pair = (
+        live_q[:, None] & live_c[None, :] & (d2 <= radius * radius)
+        & (ham <= max_hamming)
+    )
+    d2_masked = jnp.where(pair, d2, jnp.inf)
+    target_local = jnp.argmin(d2_masked, axis=1)  # (CAP,)
+    dies_local = jnp.any(pair, axis=1)
+
+    # scatter back to global indexing (unclamped iq: fill slots land in the
+    # extra row P and are dropped — no collision with real point P−1)
+    target_global = ic_s[target_local]
+    dies = jnp.zeros(P + 1, bool).at[iq].set(dies_local & live_q)[:P]
+    remap = jnp.arange(P + 1).at[iq].set(
+        jnp.where(dies_local & live_q, target_global, iq_s)
+    )[:P]
+    assoc = state.kf_feat_pt
+    new_assoc = jnp.where(
+        assoc >= 0, remap[jnp.maximum(assoc, 0)].astype(jnp.int32), assoc
+    )
+    return state._replace(
+        pt_valid=state.pt_valid & ~dies,
+        kf_feat_pt=new_assoc,
+    )
+
+
 def fuse_duplicate_objects(state: ms.MapState, dist_th: float = 1.5
                            ) -> ms.MapState:
     """Merge objects whose centers coincide after correction

@@ -166,6 +166,43 @@ def fuse_neighbors(state: ms.MapState, cam, kf_slot: int,
     )
 
 
+def update_point_geometry(state: ms.MapState) -> ms.MapState:
+    """Refresh per-point viewing normals and scale-invariance depth ranges
+    (`MapPoint::UpdateNormalAndDepth`/`PredictScale`,
+    `src/MapPoint.cc:336-421`): normal = mean direction from observing
+    camera centers; [min_d, max_d] from the reference-KF distance and the
+    octave of its observation."""
+    M = ms.membership_matrix(state).astype(jnp.float32)  # (K, P)
+    t_wc = jax.vmap(lie.inv_se3)(state.kf_pose)
+    centers = t_wc[:, :3, 3]  # (K, 3)
+    diff = state.pt_pos[None, :, :] - centers[:, None, :]  # (K, P, 3)
+    dirs = diff / jnp.maximum(
+        jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-9
+    )
+    n_obs = jnp.maximum(jnp.sum(M, axis=0), 1.0)
+    normal = jnp.einsum("kp,kpi->pi", M, dirs) / n_obs[:, None]
+
+    ref = jnp.maximum(state.pt_ref_kf, 0)
+    dist = jnp.linalg.norm(state.pt_pos - centers[ref], axis=-1)
+    # octave of the point's observation in its reference KF: look up the
+    # feature slot via the (K, F) association table
+    F = state.kf_feat_pt.shape[1]
+    slot_match = state.kf_feat_pt[ref] == jnp.arange(
+        state.pt_pos.shape[0]
+    )[:, None]  # (P, F)
+    lvl = jnp.max(
+        jnp.where(slot_match, state.kf_level[ref], 0), axis=1
+    ).astype(jnp.float32)
+    max_d = dist * (1.2 ** lvl)
+    min_d = max_d / (1.2 ** 7)
+    live = state.pt_valid
+    return state._replace(
+        pt_normal=jnp.where(live[:, None], normal, state.pt_normal),
+        pt_min_d=jnp.where(live, min_d, state.pt_min_d),
+        pt_max_d=jnp.where(live, max_d, state.pt_max_d),
+    )
+
+
 def cull_points(state: ms.MapState, current_kf: int,
                 min_found_ratio: float = 0.25,
                 min_obs_after: int = 2) -> ms.MapState:

@@ -192,6 +192,7 @@ class SLAMSystem:
         self.state = lm.triangulate_new_points(self.state, self.cfg.cam, slot)
         self.state = lm.fuse_neighbors(self.state, self.cfg.cam, slot)
         self.state = lm.cull_points(self.state, slot)
+        self.state = lm.update_point_geometry(self.state)
 
         if detections:
             self._object_stage(slot, frame, detections)
@@ -368,6 +369,13 @@ class SLAMSystem:
         self.state = loop_closing.correct_loop(
             self.state, self.cfg.cam, kf_slot, best, res.t_21,
             fix_scale=fix_scale,
+        )
+        # fuse duplicated landmarks between the two sides of the loop
+        group_q = (W[kf_slot] >= covis.MIN_WEIGHT).at[kf_slot].set(True)
+        group_c = (W[best] >= covis.MIN_WEIGHT).at[best].set(True)
+        self.state = loop_closing.fuse_duplicate_points(
+            self.state, group_q & self.state.kf_valid,
+            group_c & self.state.kf_valid,
         )
         self.state = loop_closing.fuse_duplicate_objects(self.state)
         # global joint BA after the essential graph (the reference spawns

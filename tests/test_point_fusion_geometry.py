@@ -1,0 +1,80 @@
+"""Tests for loop-side point fusion and point geometry maintenance."""
+import numpy as np
+import jax.numpy as jnp
+
+from dsp_slam_rgbd_tpu.loop import loop_closing
+from dsp_slam_rgbd_tpu.mapping import local_mapping as lm
+from dsp_slam_rgbd_tpu.mapping import map_state as ms
+
+
+def _two_group_state():
+    rng = np.random.default_rng(0)
+    st = ms.empty(max_kf=4, max_feat=16, max_pts=64, max_obj=2)
+    # group_c = KF0 observes points 0..9 (old); group_q = KF1 observes
+    # points 10..19 (revisit duplicates of 0..9, slightly offset)
+    pts = np.zeros((64, 3), np.float32)
+    pts[:10] = rng.uniform(-2, 2, (10, 3))
+    pts[10:20] = pts[:10] + 0.05  # near-coincident duplicates
+    pts[20] = [50, 50, 50]        # q-side point with no partner
+    desc = rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32)
+    desc[10:20] = desc[:10]       # same descriptors (same landmarks)
+    kf_pt = np.full((4, 16), -1, np.int32)
+    kf_pt[0, :10] = np.arange(10)
+    kf_pt[1, :10] = np.arange(10, 20)
+    kf_pt[1, 10] = 20
+    st = st._replace(
+        kf_valid=jnp.asarray([True, True, False, False]),
+        kf_feat_valid=jnp.ones((4, 16), bool),
+        kf_feat_pt=jnp.asarray(kf_pt),
+        pt_pos=jnp.asarray(pts),
+        pt_valid=jnp.asarray([True] * 21 + [False] * 43),
+        pt_desc=jnp.asarray(desc),
+        pt_ref_kf=jnp.asarray([0] * 10 + [1] * 11 + [-1] * 43, jnp.int32),
+    )
+    return st
+
+
+def test_fuse_duplicate_points():
+    st = _two_group_state()
+    gq = jnp.asarray([False, True, False, False])
+    gc = jnp.asarray([True, False, False, False])
+    st2 = loop_closing.fuse_duplicate_points(st, gq, gc, radius=0.2)
+    v = np.asarray(st2.pt_valid)
+    assert v[:10].all()          # old landmarks survive
+    assert not v[10:20].any()    # duplicates merged away
+    assert v[20]                 # unmatched q point survives
+    # KF1's features now reference the old landmarks
+    np.testing.assert_array_equal(
+        np.asarray(st2.kf_feat_pt[1, :10]), np.arange(10)
+    )
+    assert int(st2.kf_feat_pt[1, 10]) == 20
+
+
+def test_update_point_geometry():
+    st = ms.empty(max_kf=4, max_feat=8, max_pts=16, max_obj=2)
+    T0 = np.eye(4, dtype=np.float32)             # camera at origin
+    T1 = np.eye(4, dtype=np.float32)
+    T1[0, 3] = -2.0                               # camera at (2, 0, 0)
+    kf_pt = np.full((4, 8), -1, np.int32)
+    kf_pt[0, 0] = 0
+    kf_pt[1, 1] = 0
+    st = st._replace(
+        kf_pose=jnp.asarray(np.stack([T0, T1, np.eye(4), np.eye(4)])),
+        kf_valid=jnp.asarray([True, True, False, False]),
+        kf_feat_valid=jnp.ones((4, 8), bool),
+        kf_feat_pt=jnp.asarray(kf_pt),
+        kf_level=jnp.zeros((4, 8), jnp.int32).at[0, 0].set(2),
+        pt_pos=jnp.zeros((16, 3)).at[0].set(jnp.asarray([1.0, 0.0, 5.0])),
+        pt_valid=jnp.zeros(16, bool).at[0].set(True),
+        pt_ref_kf=jnp.full(16, -1, jnp.int32).at[0].set(0),
+    )
+    st2 = lm.update_point_geometry(st)
+    n = np.asarray(st2.pt_normal[0])
+    # mean of directions from (0,0,0) and (2,0,0) to (1,0,5): symmetric in x
+    assert abs(n[0]) < 1e-5
+    assert n[2] > 0.9
+    dist = np.linalg.norm([1.0, 0.0, 5.0])
+    # max_d = dist * 1.2^level(=2) in the reference KF
+    np.testing.assert_allclose(float(st2.pt_max_d[0]), dist * 1.2 ** 2,
+                               rtol=1e-5)
+    assert float(st2.pt_min_d[0]) < float(st2.pt_max_d[0])
