@@ -45,12 +45,16 @@ class Frame(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cam",))
 def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
-                       feat_desc, feat_level, feat_valid, radius):
+                       feat_desc, feat_level, feat_valid, radius,
+                       pt_normal=None, pt_min_d=None, pt_max_d=None):
     """Project candidate points into the frame and match by descriptor.
 
     The TPU equivalent of `SearchByProjection(F, vpMapPoints)`
     (`ORBmatcher.cc:45`): dense radius mask + Hamming argmin instead of the
-    per-cell grid walk.  Returns (per-feature point idx or −1, valid)."""
+    per-cell grid walk.  Optional pt_normal/min_d/max_d enable the
+    reference's `isInFrustum` gates (`Frame.cc`): distance inside the
+    scale-invariance band, viewing angle within 60° of the mean normal.
+    Returns (per-feature point idx or −1, valid)."""
     pc = lie.transform_points(t_cw, pt_pos)
     uv = cam_ops.project(cam, pc)
     in_front = pc[:, 2] > 0.1
@@ -60,6 +64,15 @@ def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
         & (uv[:, 1] > -h_margin) & (uv[:, 1] < cam.cy * 2 + h_margin)
     )
     cand = pt_valid & in_front & in_img
+    if pt_min_d is not None:
+        cam_center = lie.inv_se3(t_cw)[:3, 3]
+        po = pt_pos - cam_center
+        dist = jnp.linalg.norm(po, axis=-1)
+        cand = cand & (dist >= 0.8 * pt_min_d) & (dist <= 1.2 * pt_max_d)
+        if pt_normal is not None:
+            cosv = jnp.sum(po * pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+            has_n = jnp.linalg.norm(pt_normal, axis=-1) > 1e-6
+            cand = cand & (~has_n | (cosv > 0.5))
 
     # per-feature scale-dependent radius (reference: th·scaleFactor^octave)
     r = radius * (1.2 ** feat_level.astype(jnp.float32))
@@ -284,6 +297,9 @@ class Tracker:
             self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
             frame.feats.xy, frame.feats.desc, frame.feats.level,
             frame.feats.valid, radius=15.0,
+            pt_normal=self.state.pt_normal[idx],
+            pt_min_d=self.state.pt_min_d[idx],
+            pt_max_d=self.state.pt_max_d[idx],
         )
         pt_global = jnp.where(pt_idx >= 0, idx[jnp.maximum(pt_idx, 0)], -1)
         if int(jnp.sum(pt_global >= 0)) < 20:
@@ -321,6 +337,9 @@ class Tracker:
             self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
             frame.feats.xy, frame.feats.desc, frame.feats.level,
             frame.feats.valid, radius=4.0,
+            pt_normal=self.state.pt_normal[idx],
+            pt_min_d=self.state.pt_min_d[idx],
+            pt_max_d=self.state.pt_max_d[idx],
         )
         pt_global = jnp.where(pt_idx >= 0, idx[jnp.maximum(pt_idx, 0)], -1)
         # keep motion-model matches where the local-map match is empty
