@@ -36,7 +36,10 @@ def main():
 
     spec = deepsdf.DecoderSpec()  # full cars_64 arch (64-d code, 8x512)
     params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
-    cfg = ReconConfig()  # KITTI defaults: 10 iters, 50 depth samples
+    # validated TPU production preset (tests/test_trained_decoder_recon.py):
+    # bf16 MXU + 1-pass value sweep, KITTI budget (10 iters, 50 samples/ray)
+    cfg = ReconConfig.tpu_fast()
+    compute_dtype = jnp.bfloat16
 
     B = 8            # objects per batch (a busy KITTI keyframe)
     N_PTS = 256      # surface points (reference caps at 250)
@@ -70,7 +73,8 @@ def main():
     rest = args[4:]
 
     def step(t):
-        out = reconstruct_objects_batched(params, spec, cfg, t, *rest)
+        out = reconstruct_objects_batched(params, spec, cfg, t, *rest,
+                                          compute_dtype)
         return jnp.where(jnp.all(jnp.isfinite(out.t_cam_obj)),
                          out.t_cam_obj, t_batch)
 

@@ -208,6 +208,10 @@ def load_npz(path: str):
     layers = []
     i = 0
     while f"W{i}" in z:
-        layers.append((jnp.asarray(z[f"W{i}"]), jnp.asarray(z[f"b{i}"])))
+        # weights may be stored fp16 (fixture compression); compute in f32
+        layers.append((
+            jnp.asarray(z[f"W{i}"], dtype=jnp.float32),
+            jnp.asarray(z[f"b{i}"], dtype=jnp.float32),
+        ))
         i += 1
     return {"layers": layers}, spec

@@ -60,6 +60,40 @@ class RenderLossResult(NamedTuple):
     n_valid: jnp.ndarray    # scalar: in-sphere sample count (failure check)
 
 
+def chord_sample_depths(t_obj_cam, ray_dirs, num_samples: int,
+                        eps: float = 1e-4):
+    """Per-ray depth samples spanning exactly the ray ∩ unit-sphere chord.
+
+    The decoder's support is the object-frame unit sphere; a ray's in-sphere
+    region is one contiguous interval with closed-form endpoints
+    (|A·d·t + c| = 1 quadratic, A/c from t_obj_cam).  Sampling M depths
+    inside the chord puts EVERY sample where the SDF is defined — unlike the
+    reference's global linspace over d_center ± scale (`optimizer.py:122-128`)
+    which wastes 30-60% of samples outside the sphere and, in a
+    fixed-capacity TPU formulation, would force either a huge dense grid or
+    biased truncation.  Sample density ≥ the reference's everywhere (equal
+    on diameter-crossing rays, higher on edge rays).
+
+    Returns (depths (R, M), hit (R,)); depths are garbage where ~hit.
+    """
+    A = t_obj_cam[:3, :3]
+    c = t_obj_cam[:3, 3]
+    u = ray_dirs @ A.T                        # (R, 3) object-frame ray dirs
+    a = jnp.sum(u * u, axis=-1)               # (R,)
+    b = 2.0 * (u @ c)
+    cc = jnp.dot(c, c) - 1.0
+    disc = b * b - 4.0 * a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.maximum(a, 1e-12)
+    t0 = (-b - sq) / (2.0 * a_safe)
+    t1 = (-b + sq) / (2.0 * a_safe)
+    t0 = jnp.maximum(t0, eps)                 # clip to in front of camera
+    hit = (disc > 0.0) & (t1 > t0)
+    frac = jnp.linspace(0.0, 1.0, num_samples)
+    depths = t0[:, None] + (t1 - t0)[:, None] * frac[None, :]
+    return depths, hit
+
+
 def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
                         sampled_depths, code, th: float = 0.01,
                         max_grad_points: int = 2048,
@@ -76,54 +110,81 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
         p_l = o_l · T_{l−1}; rendered depth d_u = Σ d̂_l p_l with the
         background bin d̂_M = 1.1 d_max, o_M = 1;
       * ∂e/∂o_m = (Σ_{l≥m} T_l)/(1−o_m) — a reverse cumsum, no per-point
-        ray copies;
+      ray copies;
       * gradient points (|SDF| < th and ∂e/∂o > 1e-2) are compacted to a
         static capacity K = max_grad_points and only those get the decoder
         Jacobian pass.
 
+    `sampled_depths` is either (M,) — the reference's global linspace over
+    d_center ± scale, kept for parity (`optimizer.py:122-128`) — or (R, M)
+    per-ray chord samples from `chord_sample_depths` (the TPU-native
+    default: every sample in-support, dense value pass, no valid-sample
+    compaction/truncation).
+
     Residual is clamped to ±0.30 m (reference :153).
     """
     R = ray_dirs.shape[0]
-    M = sampled_depths.shape[0]
-    pts_cam = ray_dirs[:, None, :] * sampled_depths[None, :, None]  # (R, M, 3)
-    pts_obj = lie.transform_points(t_obj_cam, pts_cam.reshape(-1, 3)).reshape(R, M, 3)
+    chord_mode = sampled_depths.ndim == 2
+    M = sampled_depths.shape[-1]
+    if chord_mode:
+        d_per_ray = sampled_depths                        # (R, M)
+        d_max = jnp.max(jnp.where(ray_mask, d_per_ray[:, -1], 0.0))
+        delta_d = (d_per_ray[:, -1] - d_per_ray[:, 0]) / (M - 1)  # (R,)
+    else:
+        d_per_ray = jnp.broadcast_to(sampled_depths[None, :], (R, M))
+        d_max = sampled_depths[-1]
+        delta_d = jnp.broadcast_to(
+            (sampled_depths[-1] - sampled_depths[0]) / (M - 1), (R,)
+        )
+    pts_cam = ray_dirs[:, None, :] * d_per_ray[:, :, None]   # (R, M, 3)
+    pts_obj = lie.transform_points(
+        t_obj_cam, pts_cam.reshape(-1, 3)
+    ).reshape(R, M, 3)
 
     valid = (jnp.linalg.norm(pts_obj, axis=-1) < 1.0) & ray_mask[:, None]
 
-    # The decoder only needs evaluation where ‖x‖ < 1 — typically ~10-20% of
-    # the R·M samples.  Compact those to a static capacity before the value
-    # pass (3-5x FLOP cut on the dominant term); valid samples beyond
-    # capacity are treated as empty space (cap >> typical counts).
-    flat_valid = valid.reshape(-1)
-    (idx_val,) = jnp.nonzero(flat_valid, size=max_valid_samples,
-                             fill_value=R * M)
-    pts_flat = pts_obj.reshape(-1, 3)
-    pts_val = pts_flat[jnp.minimum(idx_val, R * M - 1)]
     # The value-only pass feeds the occupancy ramp and band selection — no
     # gradients flow through it.  1-pass bf16 MXU precision (DEFAULT) is
     # enough there (the reference's torch/RTX path runs TF32 everywhere);
     # the Jacobian pass below stays at 3-pass HIGH.
     val_precision = (jax.lax.Precision.DEFAULT if fast_value_pass
                      else jax.lax.Precision.HIGH)
-    sdf_val = deepsdf.sdf(params, spec, code, pts_val, compute_dtype,
-                          precision=val_precision)
-    sdf_vals = (
-        jnp.zeros(R * M + 1).at[idx_val].set(sdf_val, mode="drop")[:-1]
-    ).reshape(R, M)
-    covered = (
-        jnp.zeros(R * M + 1, bool).at[idx_val].set(True, mode="drop")[:-1]
-    ).reshape(R, M)
-    valid = valid & covered
+    if chord_mode:
+        # chord samples are in-support by construction: dense value pass,
+        # nothing truncated
+        sdf_vals = deepsdf.sdf(
+            params, spec, code, pts_obj.reshape(-1, 3), compute_dtype,
+            precision=val_precision,
+        ).reshape(R, M)
+    else:
+        # global-linspace mode: typically only ~10-40% of samples are
+        # in-sphere — compact to a static capacity before the value pass.
+        # Samples beyond capacity are treated as empty space (size the cap
+        # for the geometry, or use chord mode which needs none of this).
+        flat_valid = valid.reshape(-1)
+        (idx_val,) = jnp.nonzero(flat_valid, size=max_valid_samples,
+                                 fill_value=R * M)
+        pts_flat = pts_obj.reshape(-1, 3)
+        pts_val = pts_flat[jnp.minimum(idx_val, R * M - 1)]
+        sdf_val = deepsdf.sdf(params, spec, code, pts_val, compute_dtype,
+                              precision=val_precision)
+        sdf_vals = (
+            jnp.zeros(R * M + 1).at[idx_val].set(sdf_val, mode="drop")[:-1]
+        ).reshape(R, M)
+        covered = (
+            jnp.zeros(R * M + 1, bool).at[idx_val].set(True, mode="drop")[:-1]
+        ).reshape(R, M)
+        valid = valid & covered
     occ = jnp.where(valid, sdf_to_occupancy(sdf_vals, th), 0.0)  # (R, M)
-
-    d_min, d_max = sampled_depths[0], sampled_depths[-1]
     acc_trans = jnp.cumprod(1.0 - occ, axis=-1)  # (R, M) = T_1..T_M
     # augmented: T_0 = 1 prepended; o_M = 1 appended; d̂_M = 1.1 d_max
     acc_aug = jnp.concatenate([jnp.ones((R, 1)), acc_trans], axis=-1)  # (R, M+1)
     o_aug = jnp.concatenate([occ, jnp.ones((R, 1))], axis=-1)
-    d_aug = jnp.concatenate([sampled_depths, 1.1 * d_max[None]], axis=0)
+    d_aug = jnp.concatenate(
+        [d_per_ray, jnp.full((R, 1), 1.1 * d_max)], axis=1
+    )  # (R, M+1)
     term_prob = o_aug * acc_aug  # (R, M+1)
-    d_u = jnp.sum(d_aug[None, :] * term_prob, axis=-1)  # (R,)
+    d_u = jnp.sum(d_aug * term_prob, axis=-1)  # (R,)
 
     # de/do_m = (Σ_{l≥m} T_l) / (1 − o_m)
     rev_cumsum = jnp.cumsum(acc_trans[:, ::-1], axis=-1)[:, ::-1]  # (R, M)
@@ -135,9 +196,8 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
     # residual per ray, clamped; broadcast to sample points
     res_ray = jnp.clip(depth_obs - d_u, -0.30, 0.30)  # (R,)
 
-    delta_d = (d_max - d_min) / (M - 1)
     do_ds = -1.0 / (2.0 * th)
-    de_ds = de_do * delta_d * do_ds  # (R, M)
+    de_ds = de_do * delta_d[:, None] * do_ds  # (R, M)
 
     # ---- fixed-capacity compaction of gradient points ----
     flat_mask = with_grad.reshape(-1)
