@@ -27,6 +27,42 @@ def test_fused_kernel_matches_xla():
                                atol=2e-4)
 
 
+def test_value_kernel_matches_xla():
+    spec = deepsdf.DecoderSpec()
+    params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
+    W, b = mlp_sdf.pack_params(params, spec)
+
+    rng = np.random.default_rng(1)
+    code = jnp.asarray(rng.standard_normal(64) * 0.2, dtype=jnp.float32)
+    xyz = jnp.asarray(rng.standard_normal((700, 3)) * 0.5, dtype=jnp.float32)
+
+    sdf_ref = deepsdf.sdf(params, spec, code, xyz)
+    sdf_k = mlp_sdf.sdf_value_fused(W, b, code, xyz, interpret=True)
+    np.testing.assert_allclose(np.asarray(sdf_k), np.asarray(sdf_ref),
+                               atol=2e-5)
+
+
+def test_bf16_mode_close_to_f32():
+    # the production bf16 MXU mode: same precision class as the validated
+    # ReconConfig.tpu_fast() XLA path (tests/test_trained_decoder_recon.py)
+    spec = deepsdf.DecoderSpec()
+    params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
+    W, b = mlp_sdf.pack_params(params, spec)
+
+    rng = np.random.default_rng(2)
+    code = jnp.asarray(rng.standard_normal(64) * 0.2, dtype=jnp.float32)
+    xyz = jnp.asarray(rng.standard_normal((256, 3)) * 0.5, dtype=jnp.float32)
+
+    sdf_f32, _ = mlp_sdf.sdf_and_input_jacobian_fused(
+        W, b, code, xyz, interpret=True
+    )
+    sdf_bf16, _ = mlp_sdf.sdf_and_input_jacobian_fused(
+        W, b, code, xyz, interpret=True, compute_dtype=jnp.bfloat16
+    )
+    np.testing.assert_allclose(np.asarray(sdf_bf16), np.asarray(sdf_f32),
+                               atol=3e-2)
+
+
 def test_pack_params_shapes():
     spec = deepsdf.DecoderSpec()
     params = deepsdf.init_params(spec, jax.random.PRNGKey(1))
