@@ -106,6 +106,93 @@ def descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)  # (K, 8)
 
 
+def _column_halfheights() -> np.ndarray:
+    """h(dx): the circular mask's half-height at column offset dx."""
+    dx = np.arange(-PATCH_R, PATCH_R + 1)
+    # largest integer dy with dx^2 + dy^2 <= R^2 (matches _MASK exactly)
+    return np.floor(np.sqrt(np.maximum(PATCH_R**2 - dx**2, 0))).astype(
+        np.int32
+    )
+
+
+_HALF_H = _column_halfheights()
+
+
+def moment_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angles at keypoints via integral-image moments.
+
+    Same values as `orientations(gather_patches(img, xy))` (up to fp
+    summation order) — the TPU replacement for the per-keypoint `IC_Angle`
+    loop (reference `ORBextractor.cc:78`).  A naive dense 31x31 conv is
+    pathological on TPU (1 channel starves the MXU); instead each circular-
+    mask column is a contiguous vertical run, so a y-cumsum turns the m10 /
+    m01 maps into 31 shifted box-sum adds — pure dense VPU work.
+    """
+    h_img, w_img = img.shape
+    pad = jnp.pad(img, PATCH_R)  # zero padding == gather_patches semantics
+    # vertical prefix sums: vbox(y0..y1, x) = C[y1+1, x] - C[y0, x]; and a
+    # row-weighted variant for the dy-weighted sum
+    C = jnp.concatenate(
+        [jnp.zeros((1, pad.shape[1])), jnp.cumsum(pad, axis=0)], axis=0
+    )
+    rows = jnp.arange(pad.shape[0])[:, None].astype(img.dtype)
+    Wc = jnp.concatenate(
+        [jnp.zeros((1, pad.shape[1])), jnp.cumsum(pad * rows, axis=0)], axis=0
+    )
+    m10 = jnp.zeros((h_img, w_img))
+    m01 = jnp.zeros((h_img, w_img))
+    yc = (jnp.arange(h_img) + PATCH_R).astype(img.dtype)[:, None]
+    for i, dx in enumerate(range(-PATCH_R, PATCH_R + 1)):
+        h = int(_HALF_H[i])
+        # window rows [yc-h, yc+h] at column xc+dx, where (yc, xc) are
+        # padded-image coords (y + PATCH_R, x + PATCH_R)
+        y0 = PATCH_R - h           # top row for output pixel 0
+        y1 = PATCH_R + h + 1
+        x0 = PATCH_R + dx
+        col_sum = (C[y1 : y1 + h_img, x0 : x0 + w_img]
+                   - C[y0 : y0 + h_img, x0 : x0 + w_img])
+        col_wsum = (Wc[y1 : y1 + h_img, x0 : x0 + w_img]
+                    - Wc[y0 : y0 + h_img, x0 : x0 + w_img])
+        m10 = m10 + dx * col_sum
+        # Σ dy·I = Σ (row - yc)·I = col_wsum - yc·col_sum
+        m01 = m01 + (col_wsum - yc * col_sum)
+    x = jnp.round(xy[:, 0]).astype(jnp.int32)
+    y = jnp.round(xy[:, 1]).astype(jnp.int32)
+    return jnp.arctan2(m01[y, x], m10[y, x])
+
+
+def descriptors_flat(img: jnp.ndarray, xy: jnp.ndarray,
+                     angles: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF straight from the (blurred) image: one flat gather of
+    the 512 pattern samples per keypoint instead of materializing 31x31
+    patches (equivalent to `descriptors(gather_patches(img, xy), angles)`
+    for in-image keypoints; zero padding outside)."""
+    c, s = jnp.cos(angles), jnp.sin(angles)  # (K,)
+    y1, x1, y2, x2 = (_PATTERN[:, 0], _PATTERN[:, 1], _PATTERN[:, 2],
+                      _PATTERN[:, 3])
+
+    def rot(y, x):
+        xr = jnp.round(x[None, :] * c[:, None] - y[None, :] * s[:, None])
+        yr = jnp.round(x[None, :] * s[:, None] + y[None, :] * c[:, None])
+        return yr.astype(jnp.int32), xr.astype(jnp.int32)
+
+    ry1, rx1 = rot(y1, x1)  # (K, 256) offsets in [-R, R]
+    ry2, rx2 = rot(y2, x2)
+
+    padded = jnp.pad(img, PATCH_R)
+    w_pad = padded.shape[1]
+    flat = padded.reshape(-1)
+    x0 = jnp.round(xy[:, 0]).astype(jnp.int32)[:, None] + PATCH_R
+    y0 = jnp.round(xy[:, 1]).astype(jnp.int32)[:, None] + PATCH_R
+    i1 = jnp.take(flat, (y0 + ry1) * w_pad + (x0 + rx1), mode="clip")
+    i2 = jnp.take(flat, (y0 + ry2) * w_pad + (x0 + rx2), mode="clip")
+    bits = (i1 < i2).astype(jnp.uint32)  # (K, 256)
+
+    words = bits.reshape(-1, 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)  # (K, 8)
+
+
 class Features(NamedTuple):
     xy: jnp.ndarray      # (N, 2) level-0 pixel coords [x, y]
     level: jnp.ndarray   # (N,) int32 pyramid level
@@ -142,10 +229,8 @@ def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Features:
             img_l, n_l, cfg.cell, cfg.fast_threshold, cfg.fast_min_threshold
         )
         blurred = pyramid.gaussian_blur(img_l)
-        patches_orient = gather_patches(img_l, xy)
-        ang = orientations(patches_orient)
-        patches_desc = gather_patches(blurred, xy)
-        desc = descriptors(patches_desc, ang)
+        ang = moment_angles(img_l, xy)
+        desc = descriptors_flat(blurred, xy, ang)
         s = cfg.scale ** l
         outs.append(Features(
             xy=xy * s,
