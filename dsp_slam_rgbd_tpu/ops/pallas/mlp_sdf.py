@@ -66,7 +66,9 @@ def _make_kernel(compute_dtype):
 
     bf16 -> 1-pass MXU with f32 accumulation (the production mode; same
     precision class as the validated ReconConfig.tpu_fast()+bf16 XLA path);
-    f32 -> 3-pass HIGH, matching the faithful XLA path bit-for-bit class.
+    f32 -> HIGHEST (6-pass) — strictly MORE accurate than the XLA HIGH
+    path (Mosaic only supports DEFAULT/HIGHEST), so f32-mode results differ
+    slightly from the stock path; used for parity checks, not bit-matching.
     """
     bf16 = compute_dtype == jnp.bfloat16
     # Mosaic supports only DEFAULT / HIGHEST dot precision; f32 mode uses

@@ -99,7 +99,8 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
                         max_grad_points: int = 2048,
                         max_valid_samples: int = 8192,
                         fast_value_pass: bool = False,
-                        compute_dtype=jnp.float32) -> RenderLossResult:
+                        compute_dtype=jnp.float32,
+                        d_max=None) -> RenderLossResult:
     """Depth-rendering term via ray termination probabilities.
 
     Dense masked re-derivation of reference `loss.py:60-166`:
@@ -122,17 +123,26 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
     compaction/truncation).
 
     Residual is clamped to ±0.30 m (reference :153).
+
+    `d_max` (optional scalar): the far plane used for the background bin
+    depth (1.1·d_max).  The optimizer passes its own d_center+scale so the
+    background bin depth and the background depth_obs are the SAME quantity
+    (reference `optimizer.py:128` / `loss.py:98` use one d_max for both) —
+    unoccluded background rays then carry exactly zero residual.  When None,
+    it is derived from the sample range as before.
     """
     R = ray_dirs.shape[0]
     chord_mode = sampled_depths.ndim == 2
     M = sampled_depths.shape[-1]
     if chord_mode:
         d_per_ray = sampled_depths                        # (R, M)
-        d_max = jnp.max(jnp.where(ray_mask, d_per_ray[:, -1], 0.0))
+        if d_max is None:
+            d_max = jnp.max(jnp.where(ray_mask, d_per_ray[:, -1], 0.0))
         delta_d = (d_per_ray[:, -1] - d_per_ray[:, 0]) / (M - 1)  # (R,)
     else:
         d_per_ray = jnp.broadcast_to(sampled_depths[None, :], (R, M))
-        d_max = sampled_depths[-1]
+        if d_max is None:
+            d_max = sampled_depths[-1]
         delta_d = jnp.broadcast_to(
             (sampled_depths[-1] - sampled_depths[0]) / (M - 1), (R,)
         )

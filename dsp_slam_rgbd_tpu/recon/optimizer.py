@@ -128,6 +128,7 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
             max_valid_samples=cfg.max_valid_samples,
             fast_value_pass=cfg.fast_value_pass,
             compute_dtype=compute_dtype,
+            d_max=d_max,  # same far plane as depth_eff: bg residual is 0
         )
         rr_ren, ren_loss, _ = robust.robust_residuals(ren.res, cfg.b1, ren.mask)
 

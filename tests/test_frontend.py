@@ -177,3 +177,32 @@ def test_rgbd_depth_to_stereo():
     np.testing.assert_allclose(
         np.asarray(f.xy)[ok, 0] - ur, 40.0 / 3.0, atol=1e-4
     )
+
+
+def test_moment_angles_match_patch_gather():
+    """Regression guard for the fused paths in extract() (ADVICE r1):
+    moment_angles must equal orientations over gathered patches, and
+    descriptors_flat must be bit-identical to the patch-gather descriptors,
+    including border keypoints."""
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 255, size=(64, 80)).astype(np.float32))
+    # interior + border keypoints (corners, edges)
+    xy = jnp.asarray(np.array(
+        [[40.0, 32.0], [5.0, 5.0], [0.0, 0.0], [79.0, 63.0], [2.0, 60.0],
+         [78.0, 1.0], [15.0, 0.0], [0.0, 30.0]], np.float32))
+    ang_fast = orb.moment_angles(img, xy)
+    ang_ref = orb.orientations(orb.gather_patches(img, xy))
+    np.testing.assert_allclose(np.asarray(ang_fast), np.asarray(ang_ref),
+                               atol=1e-3)
+
+
+def test_descriptors_flat_match_patch_gather():
+    rng = np.random.default_rng(12)
+    img = jnp.asarray(rng.uniform(0, 255, size=(64, 80)).astype(np.float32))
+    xy = jnp.asarray(np.array(
+        [[40.0, 32.0], [5.0, 5.0], [0.0, 0.0], [79.0, 63.0], [2.0, 60.0],
+         [78.0, 1.0], [15.0, 0.0], [0.0, 30.0]], np.float32))
+    ang = orb.moment_angles(img, xy)
+    d_flat = orb.descriptors_flat(img, xy, ang)
+    d_ref = orb.descriptors(orb.gather_patches(img, xy), ang)
+    assert np.array_equal(np.asarray(d_flat), np.asarray(d_ref))

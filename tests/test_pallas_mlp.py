@@ -53,14 +53,28 @@ def test_bf16_mode_close_to_f32():
     code = jnp.asarray(rng.standard_normal(64) * 0.2, dtype=jnp.float32)
     xyz = jnp.asarray(rng.standard_normal((256, 3)) * 0.5, dtype=jnp.float32)
 
-    sdf_f32, _ = mlp_sdf.sdf_and_input_jacobian_fused(
+    sdf_f32, jac_f32 = mlp_sdf.sdf_and_input_jacobian_fused(
         W, b, code, xyz, interpret=True
     )
-    sdf_bf16, _ = mlp_sdf.sdf_and_input_jacobian_fused(
+    sdf_bf16, jac_bf16 = mlp_sdf.sdf_and_input_jacobian_fused(
         W, b, code, xyz, interpret=True, compute_dtype=jnp.bfloat16
     )
     np.testing.assert_allclose(np.asarray(sdf_bf16), np.asarray(sdf_f32),
                                atol=3e-2)
+    # the Jacobian is the GN-critical output: the bf16 backward sweep
+    # re-casts the running gradient at each of the 9 layers (ADVICE r1).
+    # On a random-init decoder (worst case: no structure, heavy
+    # cancellation) the per-row norm error is ~14%, but the GN step
+    # direction is what matters — assert per-row cosine alignment plus a
+    # bounded Frobenius error.  (Trained-decoder GN convergence under bf16
+    # is separately asserted end-to-end by test_trained_decoder_recon.py.)
+    jf, jb = np.asarray(jac_f32), np.asarray(jac_bf16)
+    frob_rel = np.linalg.norm(jb - jf) / np.linalg.norm(jf)
+    assert frob_rel <= 0.25, f"bf16 Jacobian Frobenius rel err {frob_rel:.3f}"
+    cos = np.sum(jb * jf, axis=1) / (
+        np.linalg.norm(jb, axis=1) * np.linalg.norm(jf, axis=1) + 1e-12
+    )
+    assert cos.min() >= 0.90, f"bf16 Jacobian row cosine min {cos.min():.3f}"
 
 
 def test_pack_params_shapes():

@@ -214,3 +214,56 @@ def test_batched_vmap_objects():
     assert res.t_cam_obj.shape == (B, 4, 4)
     assert res.code.shape == (B, CODE_LEN)
     assert bool(jnp.all(res.is_good))
+
+
+def test_chord_mode_normal_equations_match_dense_linspace():
+    """ADVICE r1: the per-ray chord quadrature (production default) must
+    produce the same normal-equation aggregates H, b as a dense global
+    linspace over d_center ± scale when both run at the same sample density
+    — protecting the per-ray delta_d quadrature weight."""
+    from dsp_slam_rgbd_tpu.ops import robust
+
+    rng = np.random.default_rng(3)
+    T = gt_pose(scale=1.0)  # unit-scale object at ~3 m
+    t_obj_cam = lie.inv_sim3(jnp.asarray(T))
+    code = jnp.asarray(rng.standard_normal(CODE_LEN) * 0.1, jnp.float32)
+
+    # near-axis foreground rays: their sphere chords ≈ the full diameter, so
+    # chord sampling density == linspace density at equal M
+    center = T[:3, 3]
+    n_rays = 48
+    dirs = center[None, :] + 0.03 * rng.standard_normal((n_rays, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays = jnp.asarray(dirs.astype(np.float32))
+    ray_mask = jnp.ones(n_rays, bool)
+    d_center = float(T[2, 3])
+    depth_obs = jnp.full((n_rays,), d_center - 0.45)  # near-surface depths
+    M = 400
+    d_max = jnp.asarray(d_center + 1.0)
+
+    def aggregates(sampled, extra_mask=None):
+        mask = ray_mask if extra_mask is None else ray_mask & extra_mask
+        ren = losses.compute_render_loss(
+            PARAMS, SPEC, rays, mask, depth_obs, t_obj_cam, sampled, code,
+            th=0.05, max_grad_points=8192, max_valid_samples=32768,
+            d_max=d_max,
+        )
+        rr, _, _ = robust.robust_residuals(ren.res, 0.20, ren.mask)
+        J = jnp.concatenate([ren.jac_pose, ren.jac_code], axis=-1)
+        n = jnp.maximum(jnp.sum(ren.mask), 1).astype(jnp.float32)
+        Jm = jnp.where(ren.mask[:, None], J, 0.0)
+        H = (Jm.T @ Jm) / n
+        b = -(Jm.T @ jnp.where(ren.mask, rr, 0.0)) / n
+        return np.asarray(H), np.asarray(b)
+
+    sampled_chord, hit = losses.chord_sample_depths(t_obj_cam, rays, M)
+    H_c, b_c = aggregates(sampled_chord, hit)
+    lin = jnp.linspace(d_center - 1.0, d_center + 1.0, M)
+    H_l, b_l = aggregates(lin)
+
+    assert np.linalg.norm(H_c - H_l) <= 0.12 * np.linalg.norm(H_l), (
+        np.linalg.norm(H_c - H_l) / np.linalg.norm(H_l)
+    )
+    assert np.linalg.norm(b_c - b_l) <= 0.15 * max(np.linalg.norm(b_l), 1e-6), (
+        np.linalg.norm(b_c - b_l) / max(np.linalg.norm(b_l), 1e-6)
+    )
