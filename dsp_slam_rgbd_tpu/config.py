@@ -36,6 +36,17 @@ class MapConfig:
     max_oobs: int = 512
     local_window: int = 10
 
+    @classmethod
+    def kitti_large(cls, **overrides) -> "MapConfig":
+        """KITTI-00-scale capacities (the reference builds ~1.3k KFs and
+        >100k points on sequence 00): headroom for 2k KFs / 300k points.
+        Local BA stays small via window compaction; global BA takes the
+        matrix-free PCG path (`ba.global_ba_pcg`)."""
+        base = dict(max_kf=2048, max_feat=1024, max_pts=300_000,
+                    max_obj=64, max_oobs=8192)
+        base.update(overrides)
+        return cls(**base)
+
 
 @dataclass(frozen=True)
 class SystemConfig:

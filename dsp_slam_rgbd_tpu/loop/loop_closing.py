@@ -146,8 +146,7 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
     )
 
     # warp map points owned by the group (points seen by group KFs)
-    M = ms.membership_matrix(state)
-    owned = jnp.any(M & group[:, None], axis=0)  # (P,)
+    owned = ms.point_mask_of(state, group)  # (P,)
     warped = lie.transform_points(delta_world, state.pt_pos)
     new_pts = jnp.where(owned[:, None], warped, state.pt_pos)
 
@@ -169,26 +168,23 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
                            obj_pose=new_obj, obj_scale=new_obj_scale)
 
     # --- essential graph: spanning chain + covisibility + loop edge ---
+    # (vectorized: strong-pair extraction from the covisibility matrix and
+    # a vmapped relative-measurement build — no O(K²) host loops)
     kf_idx = np.nonzero(np.asarray(state.kf_valid))[0]
-    ei, ej = [], []
-    for a, b in zip(kf_idx[:-1], kf_idx[1:]):
-        ei.append(int(a)); ej.append(int(b))
+    chain = np.stack([kf_idx[:-1], kf_idx[1:]], 1) if len(kf_idx) > 1 \
+        else np.zeros((0, 2), np.int64)
     Wn = np.asarray(W)
-    for a in kf_idx:
-        for b in kf_idx:
-            if b > a and Wn[a, b] >= 100:  # strong covisibility edges
-                ei.append(int(a)); ej.append(int(b))
-    ei.append(int(kf_c)); ej.append(int(kf_q))  # the loop edge
+    sa, sb = np.nonzero(np.triu(Wn >= 100, 1))  # strong covisibility edges
+    ei = np.concatenate([chain[:, 0], sa, [int(kf_c)]]).astype(np.int32)
+    ej = np.concatenate([chain[:, 1], sb, [int(kf_q)]]).astype(np.int32)
 
     poses = state.kf_pose  # post-warp initialization for the optimizer
-    meas = []
-    for a, b in zip(ei, ej):
-        if (a, b) == (int(kf_c), int(kf_q)):
-            meas.append(t_qc_corrected)  # measured relative from Sim3 solve
-        else:
-            meas.append(pose_graph.relative_sim3(poses_uncorrected[b],
-                                                 poses_uncorrected[a]))
-    meas = jnp.stack(meas)
+    # measurements from the UNcorrected relative estimates; the loop edge
+    # (last) carries the Sim3-solve measurement instead
+    meas = jax.vmap(pose_graph.relative_sim3)(
+        poses_uncorrected[jnp.asarray(ej)], poses_uncorrected[jnp.asarray(ei)]
+    )
+    meas = meas.at[-1].set(t_qc_corrected)
 
     fixed = jnp.zeros(K, bool).at[kf_c].set(True)
     res = pose_graph.optimize_pose_graph(
@@ -234,9 +230,8 @@ def fuse_duplicate_points(state: ms.MapState, group_q: jnp.ndarray,
     """
     from dsp_slam_rgbd_tpu.frontend import matcher as matcher_mod
 
-    M = ms.membership_matrix(state)
-    pts_q = jnp.any(M & group_q[:, None], axis=0) & state.pt_valid
-    pts_c = jnp.any(M & group_c[:, None], axis=0) & state.pt_valid
+    pts_q = ms.point_mask_of(state, group_q) & state.pt_valid
+    pts_c = ms.point_mask_of(state, group_c) & state.pt_valid
     pts_q = pts_q & ~pts_c  # only revisit-side duplicates die
 
     # compact both sides (a dense P x P matrix would be O(GB) at capacity)

@@ -1,11 +1,16 @@
-"""Covisibility graph as a dense integer weight matrix.
+"""Covisibility graph queries.
 
 Replaces the reference's per-KF weighted connection lists
 (`KeyFrame::UpdateConnections` / `GetBestCovisibilityKeyFrames`,
 `src/KeyFrame.cc:125-203`): weight(i, j) = number of co-observed map points,
-connections kept at weight ≥ 15.  On TPU the whole graph is one matmul of
-the (K, P) membership matrix — recomputed from scratch each time, which is
-cheaper than incremental bookkeeping at these sizes.
+connections kept at weight ≥ 15.
+
+Scale design: most consumers need a single row of the graph (the local-BA
+window, neighbor picks, culling), which is O(K·F) via a point-mask gather —
+no (K, P) intermediate.  The full (K, K) matrix — needed for loop-candidate
+group scoring and essential-graph edge assembly — is one exact int8 MXU
+matmul over the int8 membership matrix (counts ≤ F fit int32 accumulators),
+not an f32 (K, P) product.
 """
 from __future__ import annotations
 
@@ -16,10 +21,30 @@ from dsp_slam_rgbd_tpu.mapping import map_state as ms
 MIN_WEIGHT = 15
 
 
+def covisibility_row(state: ms.MapState, kf: int) -> jnp.ndarray:
+    """(K,) int32 co-observation counts of `kf` vs every KF (self zeroed).
+
+    O(K·F): scatter kf's point set into a (P,) mask, gather it through the
+    whole feature→point table, and sum per keyframe.
+    """
+    kf_mask = jnp.zeros(state.kf_valid.shape[0], bool).at[kf].set(True)
+    pmask = ms.point_mask_of(state, kf_mask)
+    ok = ms._obs_ok(state)
+    hits = ok & pmask[jnp.maximum(state.kf_feat_pt, 0)]
+    row = jnp.sum(hits, axis=1).astype(jnp.int32)
+    row = row * state.kf_valid.astype(jnp.int32)
+    return row.at[kf].set(0)
+
+
 def covisibility_matrix(state: ms.MapState) -> jnp.ndarray:
-    """(K, K) int32 co-observation counts (diagonal zeroed)."""
-    M = ms.membership_matrix(state).astype(jnp.float32)
-    W = (M @ M.T).astype(jnp.int32)
+    """(K, K) int32 co-observation counts (diagonal zeroed).
+
+    Exact int8 matmul over the membership matrix — the MXU path; ~O(K²·P)
+    FLOPs but int8 operands, used only for whole-graph consumers
+    (loop-candidate group scores, essential-graph edges).
+    """
+    M = ms.membership_matrix(state).astype(jnp.int8)
+    W = jnp.matmul(M, M.T, preferred_element_type=jnp.int32)
     K = W.shape[0]
     return W * (1 - jnp.eye(K, dtype=jnp.int32))
 
@@ -30,9 +55,10 @@ def local_window(state: ms.MapState, center_kf: int, max_kfs: int,
     (reference `LocalBundleAdjustment` covisible set, `Optimizer.cc:453`).
 
     Returns (kf_mask (K,) bool incl. center, frontier_mask (K,) bool —
-    KFs that see the window's points but are not in it: held fixed)."""
-    W = covisibility_matrix(state)
-    w_center = W[center_kf]
+    KFs that see the window's points but are not in it: held fixed,
+    window_pts (P,) bool).  Row-wise: no (K, K) or dense (K, P) build.
+    """
+    w_center = covisibility_row(state, center_kf)
     in_window = (w_center >= min_weight) & state.kf_valid
     in_window = in_window.at[center_kf].set(True)
     # cap to the top max_kfs by weight
@@ -43,15 +69,13 @@ def local_window(state: ms.MapState, center_kf: int, max_kfs: int,
     in_window = in_window & keep
 
     # frontier: any KF sharing ≥1 point with the window
-    M = ms.membership_matrix(state)
-    window_pts = jnp.any(M & in_window[:, None], axis=0)  # (P,)
-    sees = jnp.any(M & window_pts[None, :], axis=1)  # (K,)
+    window_pts = ms.point_mask_of(state, in_window)
+    sees = ms.kf_sees_mask(state, window_pts)
     frontier = sees & ~in_window & state.kf_valid
     return in_window, frontier, window_pts
 
 
 def best_covisible(state: ms.MapState, kf: int, n: int):
     """Indices of the n best covisible KFs of `kf` (host helper)."""
-    W = covisibility_matrix(state)
-    w = jnp.where(state.kf_valid, W[kf], -1)
+    w = jnp.where(state.kf_valid, covisibility_row(state, kf), -1)
     return jnp.argsort(-w)[:n], jnp.sort(-w)[:n] * -1

@@ -9,7 +9,12 @@ observation insertion — `LocalMapping_util.cc`), and
 LocalJointBundleAdjustment (`Optimizer_util.cc:309`).
 
 Host code assembles fixed-capacity problems (control plane, numpy); all
-solves are the jitted kernels in ba.py / recon/optimizer.py.
+solves are the jitted kernels in ba.py / recon/optimizer.py.  BA problems
+are COMPACTED to the window (LocalIndex maps local blocks → global slots)
+with power-of-two capacity buckets derived from the actual window contents —
+map capacity can be KITTI-00-sized (2k KFs / 300k points) while local BA
+stays a ≤64-pose dense problem and global BA takes the matrix-free PCG
+path.
 """
 from __future__ import annotations
 
@@ -26,8 +31,6 @@ from dsp_slam_rgbd_tpu.mapping import map_state as ms
 from dsp_slam_rgbd_tpu.ops import camera as cam_ops
 from dsp_slam_rgbd_tpu.ops import lie
 from dsp_slam_rgbd_tpu.solvers import triangulate as tri
-
-MAX_LOCAL_OBS = 16384
 
 
 def insert_keyframe(state: ms.MapState, frame, kf_slot: int,
@@ -144,11 +147,11 @@ def fuse_neighbors(state: ms.MapState, cam, kf_slot: int,
     """SearchInNeighbors role (:506): project neighbor KFs' points into this
     KF; unassociated features matching a projected point adopt it."""
     order, weights = covis.best_covisible(state, kf_slot, 3)
-    M = ms.membership_matrix(state)
-    nb_pts = jnp.zeros(state.pt_pos.shape[0], bool)
+    nb_mask = jnp.zeros(state.kf_valid.shape[0], bool)
     for i in range(3):
         if int(weights[i]) >= covis.MIN_WEIGHT:
-            nb_pts = nb_pts | M[int(order[i])]
+            nb_mask = nb_mask.at[int(order[i])].set(True)
+    nb_pts = ms.point_mask_of(state, nb_mask)
 
     from dsp_slam_rgbd_tpu.tracking.tracker import match_local_points
 
@@ -171,28 +174,37 @@ def update_point_geometry(state: ms.MapState) -> ms.MapState:
     (`MapPoint::UpdateNormalAndDepth`/`PredictScale`,
     `src/MapPoint.cc:336-421`): normal = mean direction from observing
     camera centers; [min_d, max_d] from the reference-KF distance and the
-    octave of its observation."""
-    M = ms.membership_matrix(state).astype(jnp.float32)  # (K, P)
+    octave of its observation.
+
+    Edgewise over the (K, F) observation table — O(K·F), no (K, P) or
+    (P, F) intermediates, so it scales to ≥300k-point maps."""
+    K, F = state.kf_feat_pt.shape
+    P = state.pt_pos.shape[0]
     t_wc = jax.vmap(lie.inv_se3)(state.kf_pose)
     centers = t_wc[:, :3, 3]  # (K, 3)
-    diff = state.pt_pos[None, :, :] - centers[:, None, :]  # (K, P, 3)
+
+    ok = ms._obs_ok(state)                                 # (K, F)
+    pt = jnp.maximum(state.kf_feat_pt, 0)                  # (K, F)
+    diff = state.pt_pos[pt] - centers[:, None, :]          # (K, F, 3)
     dirs = diff / jnp.maximum(
         jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-9
     )
-    n_obs = jnp.maximum(jnp.sum(M, axis=0), 1.0)
-    normal = jnp.einsum("kp,kpi->pi", M, dirs) / n_obs[:, None]
+    tgt = jnp.where(ok, pt, P).reshape(-1)
+    nsum = jnp.zeros((P + 1, 3)).at[tgt].add(
+        jnp.where(ok[..., None], dirs, 0.0).reshape(-1, 3)
+    )[:P]
+    n_obs = jnp.maximum(ms.point_obs_counts(state), 1).astype(jnp.float32)
+    normal = nsum / n_obs[:, None]
 
     ref = jnp.maximum(state.pt_ref_kf, 0)
     dist = jnp.linalg.norm(state.pt_pos - centers[ref], axis=-1)
-    # octave of the point's observation in its reference KF: look up the
-    # feature slot via the (K, F) association table
-    F = state.kf_feat_pt.shape[1]
-    slot_match = state.kf_feat_pt[ref] == jnp.arange(
-        state.pt_pos.shape[0]
-    )[:, None]  # (P, F)
-    lvl = jnp.max(
-        jnp.where(slot_match, state.kf_level[ref], 0), axis=1
-    ).astype(jnp.float32)
+    # octave of the point's observation in its reference KF: scatter levels
+    # from observations whose KF is the point's reference KF
+    is_ref = ok & (jnp.arange(K)[:, None] == state.pt_ref_kf[pt])
+    tgt_ref = jnp.where(is_ref, pt, P).reshape(-1)
+    lvl = jnp.zeros(P + 1, jnp.int32).at[tgt_ref].max(
+        jnp.where(is_ref, state.kf_level, 0).reshape(-1)
+    )[:P].astype(jnp.float32)
     max_d = dist * (1.2 ** lvl)
     min_d = max_d / (1.2 ** 7)
     live = state.pt_valid
@@ -208,8 +220,7 @@ def cull_points(state: ms.MapState, current_kf: int,
                 min_obs_after: int = 2) -> ms.MapState:
     """MapPointCulling (:222): drop points with poor found/visible ratio or
     too few observations a few KFs after creation."""
-    M = ms.membership_matrix(state)
-    n_obs = jnp.sum(M, axis=0)
+    n_obs = ms.point_obs_counts(state)
     ratio = state.pt_found.astype(jnp.float32) / jnp.maximum(
         state.pt_visible.astype(jnp.float32), 1.0
     )
@@ -230,42 +241,71 @@ def cull_keyframes(state: ms.MapState, kf_slot: int,
     must purge the slot from the BoW database and re-anchor any frame
     trajectory entries referencing it (the reference re-parents frames to
     the spanning tree on culling).  The culled slot's pose array entry is
-    left intact so re-anchoring can read it."""
-    M = ms.membership_matrix(state)
-    n_obs = jnp.sum(M, axis=0)  # (P,)
-    W = covis.covisibility_matrix(state)
-    local = (W[kf_slot] >= covis.MIN_WEIGHT) & state.kf_valid
-    for k in np.nonzero(np.asarray(local))[0]:
-        k = int(k)
-        mine = np.asarray(M[k])
-        if mine.sum() == 0:
-            continue
-        redundant = (np.asarray(n_obs) >= 4) & mine  # seen by ≥3 others
-        if redundant.sum() >= redundancy * mine.sum():
-            assoc = state.kf_feat_pt.at[k].set(-1)
-            state = state._replace(
-                kf_valid=state.kf_valid.at[k].set(False),
-                kf_feat_pt=assoc,
-            )
-            return state, k  # at most one per round, like the reference
-    return state, -1
+    left intact so re-anchoring can read it.
+
+    Fully vectorized (one device program, no O(K²) host loop): per-KF
+    redundancy fractions come from one masked reduction over the (K, F)
+    observation table."""
+    n_obs = ms.point_obs_counts(state)                      # (P,)
+    local = (covis.covisibility_row(state, kf_slot) >= covis.MIN_WEIGHT) \
+        & state.kf_valid
+    local = local.at[kf_slot].set(False)  # never cull the fresh KF
+    ok = ms._obs_ok(state)                                  # (K, F)
+    pt = jnp.maximum(state.kf_feat_pt, 0)
+    redundant = ok & (n_obs[pt] >= 4)                       # seen by ≥3 others
+    mine = jnp.sum(ok, axis=1).astype(jnp.float32)          # (K,)
+    red = jnp.sum(redundant, axis=1).astype(jnp.float32)
+    cand = local & (mine > 0) & (red >= redundancy * mine)
+    # at most one per round, like the reference: the most redundant one
+    frac = jnp.where(cand, red / jnp.maximum(mine, 1.0), -1.0)
+    k = int(jnp.argmax(frac))
+    if not bool(cand[k]):
+        return state, -1
+    state = state._replace(
+        kf_valid=state.kf_valid.at[k].set(False),
+        kf_feat_pt=state.kf_feat_pt.at[k].set(-1),
+    )
+    return state, k
+
+
+class LocalIndex(NamedTuple):
+    """Compaction maps: local BA block index → global map slot (−1 pad).
+    Compacting keeps the dense solve's (B, B) reduced system and (B, P_loc)
+    coupling sized to the WINDOW, not the map capacity — the map can hold
+    300k points / 2k keyframes while local BA stays a ≤64-pose problem."""
+    kf_idx: np.ndarray    # (Kl,)
+    pt_idx: np.ndarray    # (Pl,)
+    obj_idx: np.ndarray   # (Ol,)
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Round capacity up to a power of two (bounded jit-cache growth)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 def build_local_ba_problem(state: ms.MapState, center_kf: int,
                            max_kfs: int, global_window: bool = False
-                           ) -> ba.BAProblem:
-    """Assemble the fixed-capacity BA problem for the covisible window
-    (host control plane; the solve is `ba.local_ba`).  With
-    `global_window=True` every valid keyframe and point enters (the
-    GlobalJointBundleAdjustemnt problem)."""
+                           ) -> tuple[ba.BAProblem, LocalIndex]:
+    """Assemble a COMPACT fixed-capacity BA problem for the covisible window
+    (host control plane; the solve is `ba.local_ba` / `ba.global_ba_pcg`).
+    With `global_window=True` every valid keyframe and point enters (the
+    GlobalJointBundleAdjustemnt problem).
+
+    Capacities are bucketed powers of two derived from the ACTUAL window
+    contents — nothing is silently truncated (the r1 MAX_LOCAL_OBS cap and
+    its silent observation drops are gone)."""
     if global_window:
         in_w_np = np.asarray(state.kf_valid)
         frontier_np = np.zeros_like(in_w_np)
-        wpts = state.pt_valid
+        wpts_np = np.asarray(state.pt_valid)
     else:
         in_w, frontier, wpts = covis.local_window(state, center_kf, max_kfs)
         in_w_np = np.asarray(in_w)
         frontier_np = np.asarray(frontier)
+        wpts_np = np.asarray(wpts)
     involved = in_w_np | frontier_np
     # gauge anchor: if the frontier is empty (early map: the window IS the
     # whole map), fix the oldest keyframe — the reference always fixes KF 0
@@ -277,90 +317,146 @@ def build_local_ba_problem(state: ms.MapState, center_kf: int,
             frontier_np = frontier_np.copy()
             frontier_np[oldest] = True
 
-    obs_kf, obs_pt, obs_uv = [], [], []
-    kf_xy = np.asarray(state.kf_xy)
-    kf_ur = np.asarray(state.kf_ur)
+    # --- observations, fully vectorized over the (K, F) table ---
     kf_pt = np.asarray(state.kf_feat_pt)
-    kf_lvl = np.asarray(state.kf_level)
-    obs_info = []
-    wpts_np = np.asarray(wpts)
-    for k in np.nonzero(involved)[0]:
-        sel = (kf_pt[k] >= 0)
-        sel &= wpts_np[np.maximum(kf_pt[k], 0)]
-        ii = np.nonzero(sel)[0]
-        obs_kf.append(np.full(len(ii), k))
-        obs_pt.append(kf_pt[k][ii])
-        obs_uv.append(
-            np.concatenate([kf_xy[k][ii], kf_ur[k][ii][:, None]], -1)
-        )
-        obs_info.append(1.0 / (1.2 ** (2.0 * kf_lvl[k][ii])))
-    if obs_kf:
-        obs_kf = np.concatenate(obs_kf)
-        obs_pt = np.concatenate(obs_pt)
-        obs_uv = np.concatenate(obs_uv)
-        obs_info = np.concatenate(obs_info)
-    else:
-        obs_kf = np.zeros(0, np.int32)
-        obs_pt = np.zeros(0, np.int32)
-        obs_uv = np.zeros((0, 3), np.float32)
-        obs_info = np.zeros(0, np.float32)
-    n = min(len(obs_kf), MAX_LOCAL_OBS)
-    pad = MAX_LOCAL_OBS - n
+    sel = (kf_pt >= 0) & np.asarray(state.kf_feat_valid) \
+        & involved[:, None] & np.asarray(state.kf_valid)[:, None]
+    sel &= wpts_np[np.maximum(kf_pt, 0)] \
+        & np.asarray(state.pt_valid)[np.maximum(kf_pt, 0)]
+    okf, ofeat = np.nonzero(sel)
+    obs_kf_g = okf.astype(np.int32)
+    obs_pt_g = kf_pt[okf, ofeat].astype(np.int32)
+    obs_uv = np.concatenate(
+        [np.asarray(state.kf_xy)[okf, ofeat],
+         np.asarray(state.kf_ur)[okf, ofeat][:, None]], axis=-1
+    ).astype(np.float32)
+    obs_info = (
+        1.0 / (1.2 ** (2.0 * np.asarray(state.kf_level)[okf, ofeat]))
+    ).astype(np.float32)
+    n = len(obs_kf_g)
 
-    def padded(a, fill):
-        a = a[:n]
-        return np.concatenate(
-            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
-        )
-
-    # dynamic objects do not enter BA (the reference only adds static
-    # objects' relative-pose edges to the joint problem)
-    oobs_valid = np.asarray(state.oobs_valid) & involved[
-        np.maximum(np.asarray(state.oobs_kf), 0)
-    ] & ~np.asarray(state.obj_dynamic)[
-        np.maximum(np.asarray(state.oobs_obj), 0)
-    ]
     # observability guard: a point may only be optimized if its in-problem
     # edges determine it — ≥2 observations, or ≥1 stereo (3-row) observation
     # (single mono edges leave the depth direction free and explode)
     P = state.pt_pos.shape[0]
     n_obs_pt = np.zeros(P, np.int32)
-    np.add.at(n_obs_pt, obs_pt[:n] if isinstance(obs_pt, np.ndarray) else [], 1)
+    np.add.at(n_obs_pt, obs_pt_g, 1)
     has_stereo = np.zeros(P, bool)
-    if n:
-        st_sel = obs_uv[:n, 2] >= 0
-        has_stereo[obs_pt[:n][st_sel]] = True
+    has_stereo[obs_pt_g[obs_uv[:, 2] >= 0]] = True
     determined = (n_obs_pt >= 2) | has_stereo
-    return ba.BAProblem(
-        kf_pose=state.kf_pose,
-        kf_fixed=jnp.asarray(frontier_np) | ~jnp.asarray(in_w_np),
-        kf_valid=state.kf_valid,
-        pts=state.pt_pos,
-        pt_valid=state.pt_valid & jnp.asarray(wpts_np)
-        & jnp.asarray(determined),
-        obs_kf=jnp.asarray(padded(obs_kf.astype(np.int32), 0)),
-        obs_pt=jnp.asarray(padded(obs_pt.astype(np.int32), 0)),
-        obs_uv=jnp.asarray(padded(obs_uv.astype(np.float32), 0.0)),
-        obs_info=jnp.asarray(padded(obs_info.astype(np.float32), 0.0)),
-        obs_mask=jnp.asarray(padded(np.ones(n, bool), False)),
-        obj_pose=state.obj_pose,
-        obj_valid=state.obj_valid,
-        oobs_kf=jnp.maximum(state.oobs_kf, 0),
-        oobs_obj=jnp.maximum(state.oobs_obj, 0),
-        oobs_t_co=state.oobs_t_co,
-        oobs_mask=jnp.asarray(oobs_valid),
+
+    # --- object edges on involved KFs (static objects only: the reference
+    # only adds static objects' relative-pose edges to the joint problem) ---
+    oobs_valid = np.asarray(state.oobs_valid) & involved[
+        np.maximum(np.asarray(state.oobs_kf), 0)
+    ] & ~np.asarray(state.obj_dynamic)[
+        np.maximum(np.asarray(state.oobs_obj), 0)
+    ] & np.asarray(state.obj_valid)[
+        np.maximum(np.asarray(state.oobs_obj), 0)
+    ]
+    osel = np.nonzero(oobs_valid)[0]
+    oobs_kf_g = np.asarray(state.oobs_kf)[osel].astype(np.int32)
+    oobs_obj_g = np.asarray(state.oobs_obj)[osel].astype(np.int32)
+
+    # --- compaction: global slots → dense local indices ---
+    kf_ids = np.nonzero(involved)[0]
+    pt_ids = np.unique(obs_pt_g) if n else np.zeros(0, np.int64)
+    obj_ids = np.unique(oobs_obj_g) if len(osel) else np.zeros(0, np.int64)
+    Kl = _bucket(max(len(kf_ids), 1))
+    Pl = _bucket(max(len(pt_ids), 1), minimum=64)
+    Ol = _bucket(max(len(obj_ids), 1), minimum=4)
+    N = _bucket(max(n, 1), minimum=256)
+    M = _bucket(max(len(osel), 1), minimum=16)
+
+    kf_map = np.full(state.kf_valid.shape[0], 0, np.int32)
+    kf_map[kf_ids] = np.arange(len(kf_ids))
+    pt_map = np.full(P, 0, np.int32)
+    pt_map[pt_ids] = np.arange(len(pt_ids))
+    obj_map = np.full(state.obj_valid.shape[0], 0, np.int32)
+    obj_map[obj_ids] = np.arange(len(obj_ids))
+
+    def padded(a, cap, fill):
+        return np.concatenate(
+            [a, np.full((cap - len(a),) + a.shape[1:], fill, a.dtype)]
+        )
+
+    idx = LocalIndex(
+        kf_idx=padded(kf_ids.astype(np.int32), Kl, -1),
+        pt_idx=padded(pt_ids.astype(np.int32), Pl, -1),
+        obj_idx=padded(obj_ids.astype(np.int32), Ol, -1),
     )
+    kf_sel = np.maximum(idx.kf_idx, 0)
+    pt_sel = np.maximum(idx.pt_idx, 0)
+    obj_sel = np.maximum(idx.obj_idx, 0)
+
+    prob = ba.BAProblem(
+        kf_pose=state.kf_pose[jnp.asarray(kf_sel)],
+        kf_fixed=jnp.asarray(
+            frontier_np[kf_sel] | ~in_w_np[kf_sel] | (idx.kf_idx < 0)
+        ),
+        kf_valid=jnp.asarray(
+            np.asarray(state.kf_valid)[kf_sel] & (idx.kf_idx >= 0)
+        ),
+        pts=state.pt_pos[jnp.asarray(pt_sel)],
+        pt_valid=jnp.asarray(
+            (idx.pt_idx >= 0) & determined[pt_sel]
+            & np.asarray(state.pt_valid)[pt_sel]
+        ),
+        obs_kf=jnp.asarray(padded(kf_map[obs_kf_g], N, 0)),
+        obs_pt=jnp.asarray(padded(pt_map[obs_pt_g], N, 0)),
+        obs_uv=jnp.asarray(padded(obs_uv, N, 0.0)),
+        obs_info=jnp.asarray(padded(obs_info, N, 0.0)),
+        obs_mask=jnp.asarray(padded(np.ones(n, bool), N, False)),
+        obj_pose=state.obj_pose[jnp.asarray(obj_sel)],
+        obj_valid=jnp.asarray(
+            np.asarray(state.obj_valid)[obj_sel] & (idx.obj_idx >= 0)
+        ),
+        oobs_kf=jnp.asarray(padded(kf_map[oobs_kf_g], M, 0)),
+        oobs_obj=jnp.asarray(padded(obj_map[oobs_obj_g], M, 0)),
+        oobs_t_co=jnp.asarray(padded(
+            np.asarray(state.oobs_t_co)[osel],
+            M, 0.0,
+        )) + jnp.eye(4) * (jnp.arange(M) >= len(osel))[:, None, None],
+        oobs_mask=jnp.asarray(padded(np.ones(len(osel), bool), M, False)),
+    )
+    return prob, idx
 
 
-def apply_ba_result(state: ms.MapState, prob: ba.BAProblem,
+def apply_ba_result(state: ms.MapState, idx: LocalIndex,
                     res: ba.BAResult) -> ms.MapState:
-    """Write BA results back into the map (recover step)."""
-    return state._replace(kf_pose=res.kf_pose, pt_pos=res.pts,
-                          obj_pose=res.obj_pose)
+    """Scatter compact BA results back into the map (recover step)."""
+    kf_ok = idx.kf_idx >= 0
+    pt_ok = idx.pt_idx >= 0
+    obj_ok = idx.obj_idx >= 0
+    K = state.kf_pose.shape[0]
+    P = state.pt_pos.shape[0]
+    O = state.obj_pose.shape[0]
+    kf_tgt = jnp.asarray(np.where(kf_ok, idx.kf_idx, K))
+    pt_tgt = jnp.asarray(np.where(pt_ok, idx.pt_idx, P))
+    obj_tgt = jnp.asarray(np.where(obj_ok, idx.obj_idx, O))
+    return state._replace(
+        kf_pose=state.kf_pose.at[kf_tgt].set(res.kf_pose, mode="drop"),
+        pt_pos=state.pt_pos.at[pt_tgt].set(res.pts, mode="drop"),
+        obj_pose=state.obj_pose.at[obj_tgt].set(res.obj_pose, mode="drop"),
+    )
 
 
 def local_ba_step(state: ms.MapState, cam, center_kf: int,
                   max_kfs: int = 10) -> ms.MapState:
-    prob = build_local_ba_problem(state, center_kf, max_kfs)
+    prob, idx = build_local_ba_problem(state, center_kf, max_kfs)
     res = ba.local_ba(cam, prob)
-    return apply_ba_result(state, prob, res)
+    return apply_ba_result(state, idx, res)
+
+
+def global_ba_step(state: ms.MapState, cam, n_iters: int = 10,
+                   dense_limit: int = 96) -> ms.MapState:
+    """Global joint BA over the whole map.  Small maps take the dense Schur
+    path; past `dense_limit` pose blocks the matrix-free PCG path runs (the
+    (B·6)² reduced system is never materialized — KITTI-00 scale)."""
+    prob, idx = build_local_ba_problem(state, 0, 0, global_window=True)
+    B = prob.kf_pose.shape[0] + prob.obj_pose.shape[0]
+    if B <= dense_limit:
+        res = ba.global_ba(cam, prob, n_iters=n_iters)
+    else:
+        res = ba.global_ba_pcg(cam, prob, n_iters=n_iters)
+    return apply_ba_result(state, idx, res)

@@ -115,7 +115,11 @@ def alloc_slots(valid_mask: np.ndarray, n: int) -> np.ndarray:
 
 def membership_matrix(state: MapState) -> jnp.ndarray:
     """(K, P) bool: KF k observes point p.  Built by scatter from the
-    per-KF feature→point table; the base for covisibility (M @ Mᵀ)."""
+    per-KF feature→point table; the base for covisibility (M @ Mᵀ).
+
+    NOTE: O(K·P) memory — only for small maps / tests and the int8
+    covisibility matmul.  Scale-friendly queries should use `point_mask_of`
+    / `obs_indices` / `point_obs_counts` below, which stay O(K·F)."""
     K, F = state.kf_feat_pt.shape
     P = state.pt_pos.shape[0]
     kf_idx = jnp.repeat(jnp.arange(K), F)
@@ -124,3 +128,42 @@ def membership_matrix(state: MapState) -> jnp.ndarray:
     pt_safe = jnp.where(ok, pt_idx, P)
     M = jnp.zeros((K, P + 1), bool).at[kf_idx, pt_safe].max(ok)
     return M[:, :P] & state.kf_valid[:, None] & state.pt_valid[None, :]
+
+
+def _obs_ok(state: MapState) -> jnp.ndarray:
+    """(K, F) bool: feature slot holds a live observation of a live point."""
+    pt = state.kf_feat_pt
+    return (
+        (pt >= 0)
+        & state.kf_feat_valid
+        & state.kf_valid[:, None]
+        & state.pt_valid[jnp.maximum(pt, 0)]
+    )
+
+
+def point_mask_of(state: MapState, kf_mask: jnp.ndarray) -> jnp.ndarray:
+    """(P,) bool: points observed by any KF in `kf_mask` — the O(K·F)
+    replacement for `membership_matrix(state)[kf_mask].any(0)`."""
+    P = state.pt_pos.shape[0]
+    ok = _obs_ok(state) & kf_mask[:, None]
+    tgt = jnp.where(ok, state.kf_feat_pt, P)
+    return jnp.zeros(P + 1, bool).at[tgt.reshape(-1)].max(
+        ok.reshape(-1)
+    )[:P]
+
+
+def point_obs_counts(state: MapState) -> jnp.ndarray:
+    """(P,) int32 number of observing keyframes per point (O(K·F))."""
+    P = state.pt_pos.shape[0]
+    ok = _obs_ok(state)
+    tgt = jnp.where(ok, state.kf_feat_pt, P)
+    return jnp.zeros(P + 1, jnp.int32).at[tgt.reshape(-1)].add(
+        ok.reshape(-1).astype(jnp.int32)
+    )[:P]
+
+
+def kf_sees_mask(state: MapState, pt_mask: jnp.ndarray) -> jnp.ndarray:
+    """(K,) bool: KFs observing at least one point in `pt_mask` (O(K·F))."""
+    ok = _obs_ok(state)
+    hits = ok & pt_mask[jnp.maximum(state.kf_feat_pt, 0)]
+    return jnp.any(hits, axis=1)

@@ -380,14 +380,9 @@ class SLAMSystem:
         self.state = loop_closing.fuse_duplicate_objects(self.state)
         # global joint BA after the essential graph (the reference spawns
         # RunGlobalJointBundleAdjustment in a thread; here it's the next
-        # stage of the same loop — XLA async dispatch gives the overlap)
-        prob = lm.build_local_ba_problem(self.state, kf_slot,
-                                         max_kfs=self.cfg.map.max_kf,
-                                         global_window=True)
-        from dsp_slam_rgbd_tpu.mapping import ba as ba_mod
-
-        gres = ba_mod.global_ba(self.cfg.cam, prob, n_iters=10)
-        self.state = lm.apply_ba_result(self.state, prob, gres)
+        # stage of the same loop — XLA async dispatch gives the overlap);
+        # dense Schur for small maps, matrix-free PCG past ~100 pose blocks
+        self.state = lm.global_ba_step(self.state, self.cfg.cam, n_iters=10)
         self.loop_closures += 1
 
     # ------------------------------------------------------------------

@@ -89,8 +89,9 @@ def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
 
 def _gather_local_points(state: ms.MapState, kf_window: np.ndarray):
     """Host: indices of points observed by the KF window, capped."""
-    M = np.asarray(ms.membership_matrix(state))
-    pts = np.nonzero(M[kf_window].any(axis=0))[0]
+    kf_mask = jnp.zeros(state.kf_valid.shape[0], bool)
+    kf_mask = kf_mask.at[jnp.asarray(np.asarray(kf_window))].set(True)
+    pts = np.nonzero(np.asarray(ms.point_mask_of(state, kf_mask)))[0]
     idx = np.full(LOCAL_PTS, 0, np.int32)
     n = min(len(pts), LOCAL_PTS)
     idx[:n] = pts[:n]
