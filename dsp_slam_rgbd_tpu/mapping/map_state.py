@@ -44,6 +44,8 @@ class MapState(NamedTuple):
     pt_first_kf: jnp.ndarray   # (P,) int32 for culling age
     pt_object: jnp.ndarray     # (P,) int32 owning object slot or −1 (fork's
                                # object_id / in_any_object, MapPoint_util.cc)
+    pt_outlier: jnp.ndarray    # (P,) bool object-outlier flag (reference
+                               # MapPoint SetOutlierFlag, MapPoint_util.cc)
     # --- objects ---
     obj_pose: jnp.ndarray      # (O, 4, 4) T_wo SE(3)
     obj_scale: jnp.ndarray     # (O,)
@@ -53,6 +55,14 @@ class MapState(NamedTuple):
     obj_velocity: jnp.ndarray  # (O, 3)
     obj_n_obs: jnp.ndarray     # (O,) int32
     obj_last_kf: jnp.ndarray   # (O,) int32
+    obj_ref_kfseq: jnp.ndarray # (O,) int32 KF sequence number at creation
+                               # (mono every-5-KF schedule, reference
+                               # LocalMapping_util.cc:286-299)
+    obj_recon: jnp.ndarray     # (O,) bool reconstructed flag (reference
+                               # MapObject::reconstructed)
+    obj_bbox_min: jnp.ndarray  # (O, 3) decoded-shape bbox, normalized object
+    obj_bbox_max: jnp.ndarray  # frame (reference mesh vertices min/max,
+                               # MapObject.cc:285-296 RemoveOutliersModel)
     # object-KF relative pose observations (ring buffer per object)
     oobs_kf: jnp.ndarray       # (Q,) int32 KF slot
     oobs_obj: jnp.ndarray      # (Q,) int32 object slot
@@ -90,6 +100,7 @@ def empty(max_kf: int = 64, max_feat: int = 1024, max_pts: int = 8192,
         pt_found=jnp.ones(P, jnp.int32),
         pt_first_kf=jnp.full(P, -1, jnp.int32),
         pt_object=jnp.full(P, -1, jnp.int32),
+        pt_outlier=jnp.zeros(P, bool),
         obj_pose=jnp.broadcast_to(jnp.eye(4), (O, 4, 4)),
         obj_scale=jnp.ones(O),
         obj_code=jnp.zeros((O, code_len)),
@@ -98,6 +109,10 @@ def empty(max_kf: int = 64, max_feat: int = 1024, max_pts: int = 8192,
         obj_velocity=jnp.zeros((O, 3)),
         obj_n_obs=jnp.zeros(O, jnp.int32),
         obj_last_kf=jnp.full(O, -1, jnp.int32),
+        obj_ref_kfseq=jnp.full(O, -1, jnp.int32),
+        obj_recon=jnp.zeros(O, bool),
+        obj_bbox_min=jnp.full((O, 3), -1.0),
+        obj_bbox_max=jnp.full((O, 3), 1.0),
         oobs_kf=jnp.full(Q, -1, jnp.int32),
         oobs_obj=jnp.full(Q, -1, jnp.int32),
         oobs_t_co=jnp.broadcast_to(jnp.eye(4), (Q, 4, 4)),

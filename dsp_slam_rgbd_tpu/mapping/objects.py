@@ -62,39 +62,82 @@ def associate_detections(obj_centers_w, obj_valid, obj_dynamic, obj_velocity,
 
 
 class Cuboid(NamedTuple):
-    t_wo: jnp.ndarray   # (4, 4) pose seed (SE3)
-    scale: jnp.ndarray  # scalar
-    extent: jnp.ndarray # (3,) full box dims
+    t_wo: jnp.ndarray    # (4, 4) pose seed (SE3)
+    scale: jnp.ndarray   # scalar (0.4·l, reference seed)
+    extent: jnp.ndarray  # (3,) full box dims (w, h, l)
+    outlier: jnp.ndarray # (N,) bool — outside the 1.2× PCA box
+
+
+def remove_outliers_simple(pts_w: jnp.ndarray, owned: jnp.ndarray,
+                           max_dist: float = 1.0) -> jnp.ndarray:
+    """Points farther than `max_dist` from the owned-set centroid are
+    released (reference `MapObject::RemoveOutliersSimple`,
+    `MapObject.cc:249-283`).  Returns the surviving owned mask."""
+    w = owned.astype(jnp.float32)
+    n = jnp.maximum(w.sum(), 1.0)
+    c = jnp.einsum("n,ni->i", w, pts_w) / n
+    return owned & (jnp.linalg.norm(pts_w - c, axis=-1) <= max_dist)
 
 
 def cuboid_from_points_pca(pts_w: jnp.ndarray, mask: jnp.ndarray,
                            ground_normal=None) -> Cuboid:
-    """PCA cuboid seed from owned map points (mono path).
+    """PCA cuboid seed from owned map points (mono path), with the
+    reference's exact conventions (`MapObject::ComputeCuboidPCA_onlyformono`,
+    `MapObject.cc:330-443`):
 
-    ShapeNet convention: y up, x right, z forward; largest horizontal PCA
-    axis becomes z (car length); scale seed = 0.4 · largest extent
-    (reference `MapObject.cc:330-443`)."""
+      * eigenvectors of the centered covariance, ascending;
+      * ShapeNet axes: x = middle axis, y = smallest (up), z = −largest
+        (car length), det fixed by flipping x, y forced toward camera-up
+        (world −y);
+      * box = 5–95 percentile extents of UNCENTERED coords along the axes,
+        centre = percentile midpoints;
+      * scale seed = 0.40·l (z extent); outliers = outside the 1.2× box.
+    """
     w = mask.astype(jnp.float32)
     n = jnp.maximum(w.sum(), 1.0)
-    c = jnp.einsum("n,ni->i", w, pts_w) / n
-    q = (pts_w - c) * w[:, None]
-    C = q.T @ q / n
-    _, vecs = jnp.linalg.eigh(C)  # ascending
-    # principal axis (largest eig) = object z; second = x; smallest = y (up)
-    ez = vecs[:, 2]
+    c_mean = jnp.einsum("n,ni->i", w, pts_w) / n
+    q = (pts_w - c_mean) * w[:, None]
+    C = q.T @ q
+    _, vecs = jnp.linalg.eigh(C)  # ascending eigenvalues
     ex = vecs[:, 1]
-    ey = jnp.cross(ez, ex)
+    ey = vecs[:, 0]
+    ez = -vecs[:, 2]
     R = jnp.stack([ex, ey, ez], axis=1)  # columns = object axes in world
-    R = R * jnp.sign(jnp.linalg.det(R))
-    # extents via 5-95 percentiles along axes; padding slots become NaN so
-    # they cannot drag the quantiles toward zero
-    local = (pts_w - c) @ R
+    # det(R) = −1 → flip x (reference :376-377)
+    flip = jnp.sign(jnp.linalg.det(R))
+    R = R.at[:, 0].multiply(flip)
+    # y must point up (dot with world −y ≥ 0): flip x and y (:380-386)
+    upflip = jnp.where(R[1, 1] > 0.0, -1.0, 1.0)
+    R = R.at[:, 0].multiply(upflip).at[:, 1].multiply(upflip)
+    # percentile box over UNCENTERED local coords (reference :388-405);
+    # padding slots become NaN so they cannot drag the quantiles
+    local = pts_w @ R  # = R⁻¹ · x (R orthonormal)
     local_masked = jnp.where(mask[:, None], local, jnp.nan)
     lo = jnp.nanquantile(local_masked, 0.05, axis=0)
     hi = jnp.nanquantile(local_masked, 0.95, axis=0)
-    extent = jnp.where(jnp.isfinite(hi - lo), hi - lo, 0.0)
-    scale = 0.4 * jnp.max(extent)
-    return Cuboid(lie.rt_to_mat(R, c), scale, extent)
+    ok = jnp.isfinite(hi - lo)
+    extent = jnp.where(ok, hi - lo, 0.0)
+    centre_o = jnp.where(ok, 0.5 * (hi + lo), 0.0)
+    centre_w = R @ centre_o
+    scale = 0.4 * extent[2]  # 0.40·l (reference :436)
+    # outliers: outside the 1.2× box (reference :409-431 SetOutlierFlag)
+    d = jnp.abs(local - centre_o)
+    outlier = mask & jnp.any(d > 1.2 * 0.5 * extent, axis=-1)
+    return Cuboid(lie.rt_to_mat(R, centre_w), scale, extent, outlier)
+
+
+def model_outliers(pts_w: jnp.ndarray, owned: jnp.ndarray, t_wo: jnp.ndarray,
+                   scale, bbox_min: jnp.ndarray, bbox_max: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Model-based outlier gating with the decoded shape's bbox
+    (reference `MapObject::RemoveOutliersModel`, `MapObject.cc:285-328`):
+    points outside the per-axis inflated (1.2, 1.5, 1.2)× bbox of the
+    reconstructed mesh, in normalized object coordinates, are outliers."""
+    T_ow = lie.inv_se3(t_wo)
+    local = lie.transform_points(T_ow, pts_w) / jnp.maximum(scale, 1e-6)
+    s = jnp.array([1.2, 1.5, 1.2])
+    out = (local > s * bbox_max) | (local < s * bbox_min)
+    return owned & jnp.any(out, axis=-1)
 
 
 def update_dynamics(prev_center, new_center, dt, prev_velocity,

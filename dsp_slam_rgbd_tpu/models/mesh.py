@@ -46,6 +46,31 @@ def create_voxel_grid(vol_dim: int = 64, extent: float = 1.0) -> jnp.ndarray:
     return jnp.stack([x.ravel(), y.ravel(), z.ravel()], axis=-1)
 
 
+def sdf_bbox(params, spec, code, vol_dim: int = 24, extent: float = 1.1):
+    """Device-side bbox of the decoded shape's interior (sdf < 0).
+
+    The in-loop replacement for the reference's mesh-vertex min/max used by
+    `MapObject::RemoveOutliersModel` (`MapObject.cc:285-296`): instead of
+    running marching cubes per reconstruction, decode the SDF on a coarse
+    grid and take the bounding box of the negative cells — one batched MLP
+    forward, no host sync beyond the final 2×3 floats.
+
+    Returns (bbox_min (3,), bbox_max (3,)) in normalized object
+    coordinates; falls back to ±1 when nothing is inside.
+    """
+    from dsp_slam_rgbd_tpu.models import deepsdf
+
+    grid = create_voxel_grid(vol_dim, extent)
+    vals = deepsdf.sdf(params, spec, jnp.asarray(code), grid)
+    inside = vals < 0.0
+    big = jnp.where(inside[:, None], grid, jnp.inf)
+    small = jnp.where(inside[:, None], grid, -jnp.inf)
+    bb_min = jnp.min(big, axis=0)
+    bb_max = jnp.max(small, axis=0)
+    ok = jnp.isfinite(bb_min) & jnp.isfinite(bb_max)
+    return (jnp.where(ok, bb_min, -1.0), jnp.where(ok, bb_max, 1.0))
+
+
 def marching_tetrahedra(sdf_grid: np.ndarray, extent: float = 1.0):
     """Triangulate the zero isosurface of a (D, D, D) SDF grid.
 

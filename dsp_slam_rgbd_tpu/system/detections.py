@@ -27,6 +27,18 @@ class ObjectDetection(NamedTuple):
     fg_mask: np.ndarray   # (MAX_RAYS,) foreground flags
 
 
+class MonoDetection(NamedTuple):
+    """A monocular mask-only detection: no 3D pose measurement — just the
+    keypoints of the current keyframe that fall inside the (eroded)
+    instance mask, plus background rays from the inflated box around it
+    (reference `ObjectDetection` mono fields + `GetObjectDetectionsMono`,
+    `Tracking_util.cc:163-208`).  The 3D pose is recovered downstream from
+    the owned map points (PCA cuboid → GN reconstruction)."""
+    kp_idx: np.ndarray   # (n,) keypoint indices inside the mask (host, ragged)
+    bg_rays: np.ndarray  # (m, 3) background rays (camera frame, z = 1)
+    is_good: bool        # ≥ 20 keypoints in the mask (reference :199-202)
+
+
 def make_detection(t_co_sim3: np.ndarray, pts=None, rays=None, depth=None,
                    n_fg: int | None = None) -> ObjectDetection:
     """Build a padded detection from ragged inputs.
@@ -81,8 +93,9 @@ def mono_detection_from_mask(mask: np.ndarray, invK: np.ndarray,
     (reference `Tracking::GetObjectDetectionsMono`, Tracking_util.cc:163-208:
     mask erosion, keypoints-in-mask, background-pixel rays).
 
-    Returns (keypoint_indices_in_mask, bg_rays (M, 3)); the caller seeds the
-    pose from the PCA cuboid of the owned map points (mono path).
+    Returns a MonoDetection (keypoint indices in mask, bg rays, is_good);
+    the pose is seeded downstream from the PCA cuboid of the owned map
+    points (mono path).
     """
     m = np.asarray(mask, bool)
     if erode > 0:
@@ -91,7 +104,8 @@ def mono_detection_from_mask(mask: np.ndarray, invK: np.ndarray,
         m = binary_erosion(m, iterations=erode)
     ys, xs = np.nonzero(m)
     if len(xs) == 0:
-        return np.zeros(0, np.int64), np.zeros((0, 3), np.float32)
+        return MonoDetection(np.zeros(0, np.int64),
+                             np.zeros((0, 3), np.float32), False)
     # background pixels come from an inflated bbox around the mask (the
     # detector's 2D box in the reference is larger than the instance mask)
     h_img, w_img = m.shape
@@ -111,7 +125,7 @@ def mono_detection_from_mask(mask: np.ndarray, invK: np.ndarray,
         inside = np.zeros(len(pix), bool)
         inside[ok] = m[pix[ok, 1], pix[ok, 0]]
         kp_in = np.nonzero(inside)[0]
-    return kp_in, bg
+    return MonoDetection(kp_in, bg, len(kp_in) >= 20)
 
 
 def sample_background_rays(bbox, mask, invK, n_bg: int = 200, rng=None):

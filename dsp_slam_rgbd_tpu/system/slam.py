@@ -214,6 +214,24 @@ class SLAMSystem:
         (`LocalMapping_util.cc` object stage)."""
         if self.decoder_params is None:
             return
+        from dsp_slam_rgbd_tpu.system import mono_objects
+        from dsp_slam_rgbd_tpu.system.detections import MonoDetection
+
+        if isinstance(detections[0], MonoDetection):
+            # mono path: mask-only detections, pose recovered from owned
+            # map points (Tracking_util.cc:210-288 + LocalMapping_util.cc
+            # :213-445)
+            self.state, assoc = mono_objects.associate_by_projection(
+                self.state, kf_slot, detections)
+            self.state, assoc = mono_objects.create_new_objects(
+                self.state, kf_slot, detections, assoc, kfseq=self.n_kf)
+            self.state, obs = mono_objects.process_detected_objects(
+                self.state, self.cfg.cam, self.cfg.recon,
+                self.decoder_params, self.decoder_spec, kf_slot,
+                self.n_kf, detections, assoc)
+            for o, t_co in obs:
+                self._add_object_obs(o, kf_slot, t_co)
+            return
         t_cw = self.state.kf_pose[kf_slot]
         centers = self.state.obj_pose[:, :3, 3]
         det_t = jnp.asarray(np.stack([d.t_co for d in detections]))
@@ -268,6 +286,12 @@ class SLAMSystem:
             t_co_se3 = t_co_fit.copy()
             t_co_se3[:3, :3] /= s
             t_wo = np.asarray(lie.inv_se3(t_cw)) @ t_co_se3
+            # in-loop decoded-shape bbox: the reference extracts a mesh at
+            # object creation and gates outliers on its bbox
+            # (`LocalMapping_util.cc:156-208`, `MapObject.cc:285-328`)
+            from dsp_slam_rgbd_tpu.models import mesh as mesh_mod
+            bb_min, bb_max = mesh_mod.sdf_bbox(
+                self.decoder_params, self.decoder_spec, res.code)
             self.state = self.state._replace(
                 obj_pose=self.state.obj_pose.at[slot].set(jnp.asarray(t_wo)),
                 obj_scale=self.state.obj_scale.at[slot].set(s),
@@ -275,6 +299,10 @@ class SLAMSystem:
                 obj_valid=self.state.obj_valid.at[slot].set(True),
                 obj_n_obs=self.state.obj_n_obs.at[slot].set(1),
                 obj_last_kf=self.state.obj_last_kf.at[slot].set(kf_slot),
+                obj_ref_kfseq=self.state.obj_ref_kfseq.at[slot].set(self.n_kf),
+                obj_recon=self.state.obj_recon.at[slot].set(True),
+                obj_bbox_min=self.state.obj_bbox_min.at[slot].set(bb_min),
+                obj_bbox_max=self.state.obj_bbox_max.at[slot].set(bb_max),
             )
             self._add_object_obs(slot, kf_slot, t_co_se3)
             self._assign_point_membership(slot)
@@ -302,15 +330,22 @@ class SLAMSystem:
             self.tracker.ref_kf = fallback
 
     def _assign_point_membership(self, obj_slot: int):
-        """Tag map points inside the object's normalized volume as members
+        """Tag map points inside the object's decoded-shape bbox as members
         (the fork's `object_id`/`in_any_object`, MapPoint_util.cc:23-31 —
-        feeds NBV uncertainty scoring and outlier handling)."""
+        feeds NBV uncertainty scoring and outlier handling).  Membership
+        volume is the reconstructed shape's bbox with the reference's
+        (1.2, 1.5, 1.2) per-axis margins (`MapObject.cc:301-303`), not a
+        fixed cube."""
         st = self.state
         T_ow = lie.inv_se3(st.obj_pose[obj_slot])
         local = lie.transform_points(T_ow, st.pt_pos) / jnp.maximum(
             st.obj_scale[obj_slot], 1e-6
         )
-        inside = jnp.all(jnp.abs(local) <= 1.1, axis=-1) & st.pt_valid
+        s = jnp.array([1.2, 1.5, 1.2])
+        inside = jnp.all(
+            (local >= s * st.obj_bbox_min[obj_slot])
+            & (local <= s * st.obj_bbox_max[obj_slot]), axis=-1
+        ) & st.pt_valid
         claim = inside & ((st.pt_object < 0) | (st.pt_object == obj_slot))
         release = (st.pt_object == obj_slot) & ~inside
         new_owner = jnp.where(claim, obj_slot, st.pt_object)

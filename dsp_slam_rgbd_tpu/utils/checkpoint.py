@@ -24,7 +24,19 @@ def load_state(path: str):
     import jax.numpy as jnp
 
     z = np.load(path)
-    fields = {f: jnp.asarray(z[f]) for f in ms.MapState._fields}
+    # fields added after a snapshot was written fall back to empty() defaults
+    defaults = ms.empty(
+        max_kf=int(z["kf_pose"].shape[0]),
+        max_feat=int(z["kf_xy"].shape[1]),
+        max_pts=int(z["pt_pos"].shape[0]),
+        max_obj=int(z["obj_pose"].shape[0]),
+        code_len=int(z["obj_code"].shape[1]),
+        max_oobs=int(z["oobs_kf"].shape[0]),
+    )
+    fields = {
+        f: jnp.asarray(z[f]) if f in z.files else getattr(defaults, f)
+        for f in ms.MapState._fields
+    }
     extra = {
         k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")
     }

@@ -57,8 +57,10 @@ def test_mono_mask_detection():
         np.asarray([[100.0, 0, 80], [0, 100.0, 60], [0, 0, 1]])
     )
     feats = np.asarray([[70.0, 50.0], [10.0, 10.0], [90.0, 70.0]])
-    kp_in, bg = mono_detection_from_mask(mask, invK, feats_xy=feats,
-                                         erode=2, n_bg=50)
-    assert set(kp_in) == {0, 2}  # only keypoints inside the (eroded) mask
-    assert bg.shape == (50, 3)
-    np.testing.assert_allclose(bg[:, 2], 1.0, atol=1e-6)
+    det = mono_detection_from_mask(mask, invK, feats_xy=feats,
+                                   erode=2, n_bg=50)
+    # only keypoints inside the (eroded) mask
+    assert set(det.kp_idx) == {0, 2}
+    assert det.bg_rays.shape == (50, 3)
+    np.testing.assert_allclose(det.bg_rays[:, 2], 1.0, atol=1e-6)
+    assert not det.is_good  # fewer than 20 keypoints
