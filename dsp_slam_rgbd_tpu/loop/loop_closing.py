@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dsp_slam_rgbd_tpu.frontend import matcher
+from dsp_slam_rgbd_tpu.ops import camera as cam_ops
 from dsp_slam_rgbd_tpu.mapping import covisibility as covis
 from dsp_slam_rgbd_tpu.mapping import map_state as ms
 from dsp_slam_rgbd_tpu.mapping import pose_graph
@@ -67,35 +68,86 @@ def candidate_groups(state: ms.MapState, cand_mask: np.ndarray) -> list[set]:
     return groups
 
 
-def compute_loop_sim3(state: ms.MapState, cam, kf_q: int, kf_c: int, key,
-                      fix_scale: bool = True):
-    """Match features between two keyframes, lift to 3D-3D via their map
-    points, and solve Sim(3).  Returns sim3_mod.Sim3Result with t_21 mapping
-    candidate-camera coords into query-camera coords (the reference's Scm)."""
-    dq = state.kf_desc[kf_q]
-    dc = state.kf_desc[kf_c]
-    vq = state.kf_feat_valid[kf_q] & (state.kf_feat_pt[kf_q] >= 0)
-    vc = state.kf_feat_valid[kf_c] & (state.kf_feat_pt[kf_c] >= 0)
-    m = matcher.match(dq, vq, dc, vc, max_dist=matcher.TH_LOW, mutual=True)
-
+def _pairs_from_match(state: ms.MapState, kf_q: int, kf_c: int, idx, valid):
+    """Lift a per-query-feature match (idx into kf_c features) to 3D-3D
+    pairs in the two camera frames."""
     pt_q = state.kf_feat_pt[kf_q]
-    pt_c = state.kf_feat_pt[kf_c][jnp.maximum(m.idx, 0)]
-    ok = m.valid & (pt_q >= 0) & (pt_c >= 0)
+    pt_c = state.kf_feat_pt[kf_c][jnp.maximum(idx, 0)]
+    ok = valid & (pt_q >= 0) & (pt_c >= 0)
     ok = ok & state.pt_valid[jnp.maximum(pt_q, 0)] \
         & state.pt_valid[jnp.maximum(pt_c, 0)]
-
-    # 3D points in each camera frame
     pw_q = state.pt_pos[jnp.maximum(pt_q, 0)]
     pw_c = state.pt_pos[jnp.maximum(pt_c, 0)]
     p_q = lie.transform_points(state.kf_pose[kf_q], pw_q)
     p_c = lie.transform_points(state.kf_pose[kf_c], pw_c)
     uv_q = state.kf_xy[kf_q]
-    uv_c = state.kf_xy[kf_c][jnp.maximum(m.idx, 0)]
+    uv_c = state.kf_xy[kf_c][jnp.maximum(idx, 0)]
+    return p_q, p_c, uv_q, uv_c, ok
 
-    return sim3_mod.solve_sim3_ransac(
+
+def guided_rematch(state: ms.MapState, cam, kf_q: int, kf_c: int,
+                   t_qc: jnp.ndarray, radius: float = 7.5):
+    """Sim3-guided projection re-match (`ORBmatcher::SearchBySim3`,
+    `ORBmatcher.cc:1102`): project the candidate KF's map points into the
+    query image with t_qc and admit descriptor matches within a
+    scale-dependent pixel radius; mutual best-match replaces the
+    reference's two-directional agreement check."""
+    pt_c = state.kf_feat_pt[kf_c]
+    have_c = state.kf_feat_valid[kf_c] & (pt_c >= 0) \
+        & state.pt_valid[jnp.maximum(pt_c, 0)]
+    pw_c = state.pt_pos[jnp.maximum(pt_c, 0)]
+    p_c = lie.transform_points(state.kf_pose[kf_c], pw_c)
+    uv_pred = cam_ops.project(cam, lie.transform_points(t_qc, p_c))
+    r = radius * 1.2 ** state.kf_level[kf_c].astype(jnp.float32)
+    in_front = lie.transform_points(t_qc, p_c)[:, 2] > 0
+    # (F_q, F_c) admissible window around each candidate point's projection
+    d2 = jnp.sum(
+        (state.kf_xy[kf_q][:, None, :] - uv_pred[None, :, :]) ** 2, -1)
+    win = d2 <= (r[None, :] ** 2)
+    vq = state.kf_feat_valid[kf_q] & (state.kf_feat_pt[kf_q] >= 0)
+    return matcher.match(
+        state.kf_desc[kf_q], vq, state.kf_desc[kf_c],
+        have_c & in_front, mask=win, max_dist=matcher.TH_HIGH, mutual=True)
+
+
+def compute_loop_sim3(state: ms.MapState, cam, kf_q: int, kf_c: int, key,
+                      fix_scale: bool = True, min_accept: int = 20):
+    """Full loop Sim(3) pipeline (`LoopClosing::ComputeSim3`,
+    `LoopClosing.cc:241-330`): descriptor matches → Sim3Solver RANSAC →
+    guided `SearchBySim3` re-match → `OptimizeSim3` GN refinement; the loop
+    is accepted only if the refined solution keeps ≥ `min_accept` inliers.
+
+    Returns sim3_mod.Sim3Result with t_21 mapping candidate-camera coords
+    into query-camera coords (the reference's Scm)."""
+    dq = state.kf_desc[kf_q]
+    dc = state.kf_desc[kf_c]
+    vq = state.kf_feat_valid[kf_q] & (state.kf_feat_pt[kf_q] >= 0)
+    vc = state.kf_feat_valid[kf_c] & (state.kf_feat_pt[kf_c] >= 0)
+    m = matcher.match(dq, vq, dc, vc, max_dist=matcher.TH_LOW, mutual=True)
+    p_q, p_c, uv_q, uv_c, ok = _pairs_from_match(state, kf_q, kf_c,
+                                                 m.idx, m.valid)
+
+    res = sim3_mod.solve_sim3_ransac(
         cam, cam, p_c, p_q, uv_c, uv_q, jnp.ones(p_c.shape[0]),
         jnp.ones(p_q.shape[0]), ok, key, fix_scale=fix_scale,
     )
+    if not bool(res.ok):
+        return res
+
+    # guided re-match with the RANSAC estimate, then union with the
+    # descriptor matches (original pairs win where both exist)
+    m2 = guided_rematch(state, cam, kf_q, kf_c, res.t_21)
+    idx_u = jnp.where(m.valid, m.idx, m2.idx)
+    val_u = m.valid | m2.valid
+    p_q, p_c, uv_q, uv_c, ok_u = _pairs_from_match(state, kf_q, kf_c,
+                                                   idx_u, val_u)
+
+    t_ref, inl, n_in = sim3_mod.refine_sim3_gn(
+        cam, cam, res.t_21, p_c, p_q, uv_c, uv_q, ok_u,
+        fix_scale=fix_scale,
+    )
+    ok_fin = (n_in >= min_accept) & jnp.all(jnp.isfinite(t_ref))
+    return sim3_mod.Sim3Result(t_ref, inl, n_in, ok_fin)
 
 
 def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,

@@ -111,6 +111,68 @@ def solve_sim3_ransac(cam1, cam2, pts1_c, pts2_c, uv1, uv2, inv_sigma2_1,
     return Sim3Result(T_ref, inls[best], scores[best], ok)
 
 
+@partial(jax.jit, static_argnames=("cam1", "cam2", "fix_scale", "n_iters"))
+def refine_sim3_gn(cam1, cam2, t_21, pts1_c, pts2_c, uv1, uv2, valid,
+                   fix_scale: bool = True, n_iters: int = 10,
+                   chi2_th: float = 10.0, huber: float = 3.1623,
+                   damping: float = 1e-4):
+    """Gauss–Newton refinement of a Sim(3) on 3D-3D pairs with mutual
+    reprojection residuals (the reference's `OptimizeSim3`,
+    `Optimizer.cc:1045`: one Sim3 vertex, paired forward/inverse projection
+    edges, Huber δ=√10, 5 iterations → χ²>10 edge removal → 10 more).
+
+    t_21 maps frame-1 coords into frame 2.  The reference's two-stage
+    outlier handling becomes per-iteration re-gating after a warmup
+    (iterations ≥ 3 drop pairs with either directional χ² > chi2_th).
+
+    Returns (t_21_refined, inliers, n_inliers).
+    """
+    t0 = jnp.asarray(t_21, jnp.float32)
+
+    def residuals(delta, T):
+        Tn = lie.exp_sim3(delta) @ T
+        e2 = cam_ops.project(cam2, lie.transform_points(Tn, pts1_c)) - uv2
+        e1 = cam_ops.project(
+            cam1, lie.transform_points(lie.inv_sim3(Tn), pts2_c)) - uv1
+        return jnp.concatenate([e1, e2], axis=0)  # (2N, 2)
+
+    def chi2_of(T):
+        e = residuals(jnp.zeros(7), T)
+        n = pts1_c.shape[0]
+        c1 = jnp.sum(e[:n] ** 2, -1)
+        c2 = jnp.sum(e[n:] ** 2, -1)
+        return c1, c2
+
+    def body(i, carry):
+        T, gate = carry
+        c1, c2 = chi2_of(T)
+        # re-gate after warmup (reference removes χ²>10 edges mid-way)
+        gate = jnp.where(i >= 3, valid & (c1 <= chi2_th) & (c2 <= chi2_th),
+                         gate)
+        e = residuals(jnp.zeros(7), T)          # (2N, 2)
+        J = jax.jacfwd(residuals)(jnp.zeros(7), T)  # (2N, 2, 7)
+        m = jnp.concatenate([gate, gate]).astype(jnp.float32)
+        # Huber reweighting on the residual norm
+        en = jnp.sqrt(jnp.maximum(jnp.sum(e * e, -1), 1e-12))
+        w = m * jnp.minimum(1.0, huber / en)
+        H = jnp.einsum("nri,n,nrj->ij", J, w, J)
+        b = -jnp.einsum("nri,n,nr->i", J, w, e)
+        if fix_scale:
+            # zero out the scale DOF (last tangent coordinate)
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            b = b.at[6].set(0.0)
+        H = H + damping * jnp.eye(7) + 1e-8 * jnp.eye(7)
+        delta = jnp.linalg.solve(H, b)
+        T_new = lie.exp_sim3(delta) @ T
+        good = jnp.all(jnp.isfinite(T_new)) & (jnp.sum(gate) >= 3)
+        return jnp.where(good, T_new, T), gate
+
+    T_fin, gate = jax.lax.fori_loop(0, n_iters, body, (t0, valid))
+    c1, c2 = chi2_of(T_fin)
+    inl = valid & (c1 <= chi2_th) & (c2 <= chi2_th)
+    return T_fin, inl, jnp.sum(inl)
+
+
 def align_trajectories(est: jnp.ndarray, gt: jnp.ndarray,
                        fix_scale: bool = False):
     """Align estimated camera centers (N,3) to ground truth; returns

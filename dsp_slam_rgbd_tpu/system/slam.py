@@ -45,7 +45,7 @@ class SLAMSystem:
         self.consistency = loop_closing.ConsistencyState()
         self.n_kf = 0
         self.loop_closures = 0
-        self._oobs_cursor = 0
+        self._oobs_cursor = {}  # per-object ring cursors
         self._key = jax.random.PRNGKey(42)
         self.localization_only = False
         if self.db is not None:
@@ -90,7 +90,7 @@ class SLAMSystem:
             self.db = keyframe_db.empty(cfg.map.max_kf, self.vocab.n_words)
         self.consistency = loop_closing.ConsistencyState()
         self.n_kf = 0
-        self._oobs_cursor = 0
+        self._oobs_cursor = {}  # per-object ring cursors
 
     # ------------------------------------------------------------------
     def track_stereo(self, img_left, img_right, timestamp=0.0,
@@ -311,7 +311,13 @@ class SLAMSystem:
             self.state.obj_valid, self.state.obj_n_obs,
             self.state.obj_last_kf, kf_slot,
         )
-        self.state = self.state._replace(obj_valid=keep)
+        # drop the pose edges of culled objects so their ring-buffer region
+        # is clean for the next tenant and BA never sees stale constraints
+        oobs_live = self.state.oobs_valid & keep[
+            jnp.maximum(self.state.oobs_obj, 0)
+        ] & (self.state.oobs_obj >= 0)
+        self.state = self.state._replace(obj_valid=keep,
+                                         oobs_valid=oobs_live)
 
     def _on_keyframe_culled(self, culled: int, fallback: int):
         """Purge a culled KF from the BoW database and re-anchor trajectory
@@ -353,8 +359,17 @@ class SLAMSystem:
         self.state = st._replace(pt_object=new_owner.astype(jnp.int32))
 
     def _add_object_obs(self, obj_slot: int, kf_slot: int, t_co):
-        q = self._oobs_cursor % self.state.oobs_kf.shape[0]
-        self._oobs_cursor += 1
+        """Record a camera-object pose edge.  The buffer is partitioned into
+        per-object rings (Q // O slots each) so one busy object can never
+        evict another object's edges — a global ring silently forgets the
+        oldest constraints of every object during a long run and the
+        post-loop global joint BA loses them."""
+        Q = self.state.oobs_kf.shape[0]
+        O = self.state.obj_pose.shape[0]
+        S = max(Q // O, 1)
+        c = self._oobs_cursor.get(obj_slot, 0)
+        q = (obj_slot * S + c % S) % Q
+        self._oobs_cursor[obj_slot] = c + 1
         self.state = self.state._replace(
             oobs_kf=self.state.oobs_kf.at[q].set(kf_slot),
             oobs_obj=self.state.oobs_obj.at[q].set(obj_slot),

@@ -192,3 +192,78 @@ def test_fuse_duplicate_objects():
     assert bool(st2.obj_valid[2])
     assert int(st2.oobs_obj[1]) == 0    # observation repointed
     assert (np.asarray(st2.pt_object[:4]) == 0).all()
+
+
+def test_refine_sim3_gn_rejects_outliers():
+    """OptimizeSim3 role: GN refinement on noisy pairs with gross outliers
+    converges to the true Sim(3) and gates the outliers out."""
+    from dsp_slam_rgbd_tpu.solvers import sim3 as sim3_mod
+
+    rng = np.random.default_rng(7)
+    N = 40
+    p1 = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                   rng.uniform(5, 9, N)], -1).astype(np.float32)
+    T_true = np.asarray(lie.exp_se3(
+        jnp.asarray([0.4, -0.2, 0.1, 0.03, -0.05, 0.02])))
+    p2 = p1 @ T_true[:3, :3].T + T_true[:3, 3]
+    uv1 = np.array(cam_ops.project(CAM, jnp.asarray(p1)))
+    uv2 = np.array(cam_ops.project(CAM, jnp.asarray(p2)))
+    uv1 += rng.normal(0, 0.3, uv1.shape)  # moderate pixel noise
+    uv2 += rng.normal(0, 0.3, uv2.shape)
+    # 8 gross outliers: wrong pixel observations
+    uv2[:8] += rng.uniform(40, 80, (8, 2))
+
+    # init: perturbed truth (what a borderline RANSAC would hand over)
+    T0 = np.asarray(lie.exp_se3(
+        jnp.asarray([0.06, -0.04, 0.05, 0.01, 0.008, -0.012]))) @ T_true
+    T_ref, inl, n_in = sim3_mod.refine_sim3_gn(
+        CAM, CAM, jnp.asarray(T0), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+        jnp.ones(N, bool), fix_scale=True)
+    err0 = np.linalg.norm(np.asarray(lie.log_se3(
+        jnp.asarray(T0) @ lie.inv_se3(jnp.asarray(T_true)))))
+    err1 = np.linalg.norm(np.asarray(lie.log_se3(
+        T_ref @ lie.inv_se3(jnp.asarray(T_true)))))
+    assert err1 < 0.25 * err0      # refinement tightened the estimate
+    assert err1 < 0.01
+    inl = np.asarray(inl)
+    assert not inl[:8].any()       # outliers gated
+    assert inl[8:].mean() > 0.9
+    assert int(n_in) >= 28
+
+
+def test_guided_rematch_adds_matches():
+    """SearchBySim3 role: descriptors too far for the TH_LOW first-pass
+    match are recovered by Sim3-guided projection matching at TH_HIGH."""
+    st, _ = _loop_map()
+    rng = np.random.default_rng(11)
+    # KF5 descriptors drift ~70 unique bits: beyond TH_LOW=50, within TH_HIGH=100
+    d5 = perturb_desc(rng, np.asarray(st.kf_desc[5]), 85)
+    st = st._replace(kf_desc=st.kf_desc.at[5].set(jnp.asarray(d5)))
+
+    from dsp_slam_rgbd_tpu.frontend import matcher
+    m_plain = matcher.match(
+        st.kf_desc[5], st.kf_feat_valid[5], st.kf_desc[0],
+        st.kf_feat_valid[0], max_dist=matcher.TH_LOW, mutual=True)
+    t_qc_true = st.kf_pose[5] @ lie.inv_se3(st.kf_pose[0])
+    m_guided = loop_closing.guided_rematch(st, CAM, 5, 0, t_qc_true)
+    assert int(jnp.sum(m_plain.valid)) < 10
+    assert int(jnp.sum(m_guided.valid)) > 40
+    # guided matches are the correct feature pairs (identity alignment)
+    idx = np.asarray(m_guided.idx)
+    ok = np.asarray(m_guided.valid)
+    assert (idx[ok] == np.nonzero(ok)[0]).mean() > 0.95
+
+
+def test_loop_rejected_below_min_inliers():
+    """A loop whose refined inlier count is under min_accept is rejected
+    (reference LoopClosing.cc:241-330 nInliers >= 20 gate)."""
+    st, _ = _loop_map()
+    # keep only 12 live points: RANSAC can fit but acceptance needs >= 20
+    keep = np.zeros(128, bool)
+    keep[:12] = True
+    st = st._replace(pt_valid=jnp.asarray(keep))
+    res = loop_closing.compute_loop_sim3(st, CAM, 5, 0,
+                                         jax.random.PRNGKey(0))
+    assert not bool(res.ok)
+    assert int(res.n_inliers) < 20

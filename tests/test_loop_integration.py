@@ -131,3 +131,21 @@ def test_system_loop_stage_closes_loop():
         sys_.state.kf_pose[7] @ lie.inv_se3(sys_.state.kf_pose[0])
     ))
     assert np.linalg.norm(e_after) < 0.6 * np.linalg.norm(e_before)
+
+
+def test_object_obs_ring_is_per_object():
+    """One busy object can no longer evict another object's pose edges:
+    the observation buffer is partitioned into per-object rings."""
+    cfg = make_cfg()  # map: max_obj=4, max_oobs=64 -> 16 slots per object
+    sys_ = SLAMSystem(cfg)
+    t = np.eye(4, dtype=np.float32)
+    sys_._add_object_obs(1, 0, t)            # one edge for object 1
+    for k in range(40):                      # object 0 floods its ring
+        sys_._add_object_obs(0, k % 8, t)
+    oobs_obj = np.asarray(sys_.state.oobs_obj)
+    oobs_valid = np.asarray(sys_.state.oobs_valid)
+    # object 1's edge survived
+    assert ((oobs_obj == 1) & oobs_valid).sum() == 1
+    # object 0 occupies exactly its own region (16 slots)
+    assert ((oobs_obj == 0) & oobs_valid).sum() == 16
+    assert np.all(np.nonzero((oobs_obj == 0) & oobs_valid)[0] < 16)
