@@ -35,16 +35,29 @@ class SdfLossResult(NamedTuple):
 
 
 def compute_sdf_loss(params, spec, pts_surface_cam, mask, t_obj_cam, code,
-                     compute_dtype=jnp.float32) -> SdfLossResult:
+                     compute_dtype=jnp.float32, pallas_wb=None,
+                     pallas_interpret: bool = False) -> SdfLossResult:
     """Surface-point SDF term: residual = SDF(T_oc · p_cam; z).
 
     Masked equivalent of reference `loss.py:22-43`.  `t_obj_cam` may be
     Sim(3); jac_pose is wrt its left-perturbation tangent (7,).
+
+    pallas_wb: optional packed (W, b) stacks — routes the fused
+    value+Jacobian sweep through the Pallas TPU kernel
+    (`ops/pallas/mlp_sdf.py`) instead of the stock XLA path.
     """
     pts_obj = lie.transform_points(t_obj_cam, pts_surface_cam)
-    res, jac_in = deepsdf.sdf_and_input_jacobian(
-        params, spec, code, pts_obj, compute_dtype
-    )
+    if pallas_wb is not None:
+        from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
+
+        res, jac_in = mlp_sdf.sdf_and_input_jacobian_fused(
+            pallas_wb, code, pts_obj,
+            compute_dtype=compute_dtype, interpret=pallas_interpret,
+        )
+    else:
+        res, jac_in = deepsdf.sdf_and_input_jacobian(
+            params, spec, code, pts_obj, compute_dtype
+        )
     de_dxo = jac_in[:, -3:]                                  # (N, 3)
     dxo_dT = lie.points_to_pose_jacobian_sim3(pts_obj)       # (N, 3, 7)
     jac_pose = jnp.einsum("ni,nij->nj", de_dxo, dxo_dT)      # (N, 7)
@@ -100,7 +113,8 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
                         max_valid_samples: int = 8192,
                         fast_value_pass: bool = False,
                         compute_dtype=jnp.float32,
-                        d_max=None) -> RenderLossResult:
+                        d_max=None, pallas_wb=None,
+                        pallas_interpret: bool = False) -> RenderLossResult:
     """Depth-rendering term via ray termination probabilities.
 
     Dense masked re-derivation of reference `loss.py:60-166`:
@@ -159,13 +173,25 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
     # the Jacobian pass below stays at 3-pass HIGH.
     val_precision = (jax.lax.Precision.DEFAULT if fast_value_pass
                      else jax.lax.Precision.HIGH)
+    if pallas_wb is not None:
+        from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
+
+        def _value_pass(pts):
+            # bf16 MXU when fast_value_pass (DEFAULT precision class);
+            # f32-HIGHEST otherwise — the kernel keeps weights+activations
+            # in VMEM for the whole 9-layer sweep
+            dt = jnp.bfloat16 if fast_value_pass else jnp.float32
+            return mlp_sdf.sdf_value_fused(
+                pallas_wb, code, pts, compute_dtype=dt,
+                interpret=pallas_interpret)
+    else:
+        def _value_pass(pts):
+            return deepsdf.sdf(params, spec, code, pts, compute_dtype,
+                               precision=val_precision)
     if chord_mode:
         # chord samples are in-support by construction: dense value pass,
         # nothing truncated
-        sdf_vals = deepsdf.sdf(
-            params, spec, code, pts_obj.reshape(-1, 3), compute_dtype,
-            precision=val_precision,
-        ).reshape(R, M)
+        sdf_vals = _value_pass(pts_obj.reshape(-1, 3)).reshape(R, M)
     else:
         # global-linspace mode: typically only ~10-40% of samples are
         # in-sphere — compact to a static capacity before the value pass.
@@ -176,8 +202,7 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
                                  fill_value=R * M)
         pts_flat = pts_obj.reshape(-1, 3)
         pts_val = pts_flat[jnp.minimum(idx_val, R * M - 1)]
-        sdf_val = deepsdf.sdf(params, spec, code, pts_val, compute_dtype,
-                              precision=val_precision)
+        sdf_val = _value_pass(pts_val)
         sdf_vals = (
             jnp.zeros(R * M + 1).at[idx_val].set(sdf_val, mode="drop")[:-1]
         ).reshape(R, M)
@@ -217,9 +242,17 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
     de_ds_sel = de_ds.reshape(-1)[idx]             # (K,)
     res_sel = jnp.repeat(res_ray[:, None], M, 1).reshape(-1)[idx]
 
-    _, ds_di = deepsdf.sdf_and_input_jacobian(
-        params, spec, code, pts_sel, compute_dtype
-    )
+    if pallas_wb is not None:
+        from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
+
+        _, ds_di = mlp_sdf.sdf_and_input_jacobian_fused(
+            pallas_wb, code, pts_sel,
+            compute_dtype=compute_dtype, interpret=pallas_interpret,
+        )
+    else:
+        _, ds_di = deepsdf.sdf_and_input_jacobian(
+            params, spec, code, pts_sel, compute_dtype
+        )
     de_di = de_ds_sel[:, None] * ds_di             # (K, L+3)
     de_dxo = de_di[:, -3:]
     dxo_dT = lie.points_to_pose_jacobian_sim3(pts_sel)

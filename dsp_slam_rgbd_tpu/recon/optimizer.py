@@ -51,6 +51,12 @@ class ReconConfig(NamedTuple):
     # match the f32-HIGH path within noise, ~1.3x faster.  Default stays
     # faithful-f32; production preset below turns it on.
     fast_value_pass: bool = False
+    # Route decoder sweeps through the fused Pallas TPU kernel
+    # (`ops/pallas/mlp_sdf.py`): weights + activations + running gradient
+    # stay in VMEM for the whole 9-layer forward+backward.  Requires the
+    # cars/chairs_64 architecture (mlp_sdf.compatible(spec)).
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # CPU-interpreted kernel (tests only)
 
     @classmethod
     def tpu_fast(cls, **overrides) -> "ReconConfig":
@@ -65,6 +71,11 @@ class ReconConfig(NamedTuple):
                     max_valid_samples=4096)
         base.update(overrides)
         return cls(**base)
+
+    @classmethod
+    def tpu_pallas(cls, **overrides) -> "ReconConfig":
+        """tpu_fast + the fused Pallas decoder kernels."""
+        return cls.tpu_fast(use_pallas=True, **overrides)
 
 
 # compute dtype companion to ReconConfig.tpu_fast(); the reference's
@@ -99,6 +110,11 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
     L = cfg.code_len
     code0 = jnp.zeros(L) if code_init is None else code_init[:L]
     t_obj_cam0 = lie.inv_sim3(jnp.asarray(t_cam_obj, jnp.float32))
+    wb = None
+    if cfg.use_pallas:
+        from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
+
+        wb = mlp_sdf.pack_params_jnp(params, spec)  # once per call
 
     def body(_, carry):
         t_obj_cam, code, good, loss_prev = carry
@@ -116,7 +132,9 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
         depth_eff = jnp.where(fg_mask, depth_obs, 1.1 * d_max)
 
         sdf_t = losses.compute_sdf_loss(
-            params, spec, pts_surface, pts_mask, t_obj_cam, code, compute_dtype
+            params, spec, pts_surface, pts_mask, t_obj_cam, code,
+            compute_dtype, pallas_wb=wb,
+            pallas_interpret=cfg.pallas_interpret,
         )
         rr_sdf, sdf_loss, _ = robust.robust_residuals(sdf_t.res, cfg.b2,
                                                       sdf_t.mask)
@@ -129,6 +147,7 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
             fast_value_pass=cfg.fast_value_pass,
             compute_dtype=compute_dtype,
             d_max=d_max,  # same far plane as depth_eff: bg residual is 0
+            pallas_wb=wb, pallas_interpret=cfg.pallas_interpret,
         )
         rr_ren, ren_loss, _ = robust.robust_residuals(ren.res, cfg.b1, ren.mask)
 
@@ -198,11 +217,17 @@ def estimate_pose_cam_obj(params, spec, cfg: ReconConfig, t_co_se3, scale,
     t_cam_obj = jnp.asarray(t_co_se3, jnp.float32)
     t_cam_obj = t_cam_obj.at[:3, :3].multiply(scale)
     t_obj_cam = lie.inv_sim3(t_cam_obj)
+    wb = None
+    if cfg.use_pallas:
+        from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
+
+        wb = mlp_sdf.pack_params_jnp(params, spec)
 
     def body(e, carry):
         t_oc, mask, loss_prev = carry
         sdf_t = losses.compute_sdf_loss(
-            params, spec, pts, mask, t_oc, code, compute_dtype
+            params, spec, pts, mask, t_oc, code, compute_dtype,
+            pallas_wb=wb, pallas_interpret=cfg.pallas_interpret,
         )
         _, sdf_loss, _ = robust.robust_residuals(sdf_t.res, 0.05, mask)
         J = sdf_t.jac_pose[:, :6]  # SE(3) block of the Sim(3) Jacobian

@@ -11,7 +11,7 @@ from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
 def test_fused_kernel_matches_xla():
     spec = deepsdf.DecoderSpec()  # cars_64 arch
     params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
-    W, b = mlp_sdf.pack_params(params, spec)
+    wb = mlp_sdf.pack_params(params, spec)
 
     rng = np.random.default_rng(0)
     code = jnp.asarray(rng.standard_normal(64) * 0.2, dtype=jnp.float32)
@@ -19,7 +19,7 @@ def test_fused_kernel_matches_xla():
 
     sdf_ref, jac_ref = deepsdf.sdf_and_input_jacobian(params, spec, code, xyz)
     sdf_k, jac_k = mlp_sdf.sdf_and_input_jacobian_fused(
-        W, b, code, xyz, interpret=True
+        wb, code, xyz, interpret=True
     )
     np.testing.assert_allclose(np.asarray(sdf_k), np.asarray(sdf_ref),
                                atol=2e-5)
@@ -30,14 +30,14 @@ def test_fused_kernel_matches_xla():
 def test_value_kernel_matches_xla():
     spec = deepsdf.DecoderSpec()
     params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
-    W, b = mlp_sdf.pack_params(params, spec)
+    wb = mlp_sdf.pack_params(params, spec)
 
     rng = np.random.default_rng(1)
     code = jnp.asarray(rng.standard_normal(64) * 0.2, dtype=jnp.float32)
     xyz = jnp.asarray(rng.standard_normal((700, 3)) * 0.5, dtype=jnp.float32)
 
     sdf_ref = deepsdf.sdf(params, spec, code, xyz)
-    sdf_k = mlp_sdf.sdf_value_fused(W, b, code, xyz, interpret=True)
+    sdf_k = mlp_sdf.sdf_value_fused(wb, code, xyz, interpret=True)
     np.testing.assert_allclose(np.asarray(sdf_k), np.asarray(sdf_ref),
                                atol=2e-5)
 
@@ -47,17 +47,17 @@ def test_bf16_mode_close_to_f32():
     # ReconConfig.tpu_fast() XLA path (tests/test_trained_decoder_recon.py)
     spec = deepsdf.DecoderSpec()
     params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
-    W, b = mlp_sdf.pack_params(params, spec)
+    wb = mlp_sdf.pack_params(params, spec)
 
     rng = np.random.default_rng(2)
     code = jnp.asarray(rng.standard_normal(64) * 0.2, dtype=jnp.float32)
     xyz = jnp.asarray(rng.standard_normal((256, 3)) * 0.5, dtype=jnp.float32)
 
     sdf_f32, jac_f32 = mlp_sdf.sdf_and_input_jacobian_fused(
-        W, b, code, xyz, interpret=True
+        wb, code, xyz, interpret=True
     )
     sdf_bf16, jac_bf16 = mlp_sdf.sdf_and_input_jacobian_fused(
-        W, b, code, xyz, interpret=True, compute_dtype=jnp.bfloat16
+        wb, code, xyz, interpret=True, compute_dtype=jnp.bfloat16
     )
     np.testing.assert_allclose(np.asarray(sdf_bf16), np.asarray(sdf_f32),
                                atol=3e-2)
@@ -80,9 +80,46 @@ def test_bf16_mode_close_to_f32():
 def test_pack_params_shapes():
     spec = deepsdf.DecoderSpec()
     params = deepsdf.init_params(spec, jax.random.PRNGKey(1))
-    W, b = mlp_sdf.pack_params(params, spec)
-    assert W.shape == (9, 512, 512)
+    w0, W, b = mlp_sdf.pack_params(params, spec)
+    assert w0.shape == (128, 512)
+    assert W.shape == (8, 512, 512)
     assert b.shape == (9, 512)
     # padding rows/cols are zero
-    assert float(jnp.abs(W[0, 67:, :]).max()) == 0.0
-    assert float(jnp.abs(W[3, :, 445:]).max()) == 0.0
+    assert float(jnp.abs(w0[67:, :]).max()) == 0.0
+    assert float(jnp.abs(W[2, :, 445:]).max()) == 0.0  # layer 3 output pad
+
+
+def test_reconstruct_object_pallas_path_matches_xla():
+    """ReconConfig.use_pallas routes the GN reconstruction through the
+    fused kernels; one iteration matches the stock XLA path (f32 kernel is
+    HIGHEST-precision, XLA HIGH — small tolerance)."""
+    from dsp_slam_rgbd_tpu.recon.optimizer import (ReconConfig,
+                                                   reconstruct_object)
+
+    spec = deepsdf.DecoderSpec()
+    params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.0, 0.0, 6.0]
+    pts = (rng.standard_normal((64, 3)) * 0.4 + [0, 0, 6.0]).astype(
+        np.float32)
+    rays = (rng.standard_normal((32, 3)) * 0.03 + [0, 0, 1.0]).astype(
+        np.float32)
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    depth = np.full(32, 6.0, np.float32)
+    args = (jnp.asarray(T), jnp.asarray(pts), jnp.ones(64, bool),
+            jnp.asarray(rays), jnp.ones(32, bool), jnp.asarray(depth),
+            jnp.ones(32, bool))
+
+    base = dict(num_iterations=1, num_depth_samples=12,
+                max_grad_points=256, max_valid_samples=512)
+    cfg_x = ReconConfig(**base)
+    cfg_p = ReconConfig(use_pallas=True, pallas_interpret=True, **base)
+    rx = reconstruct_object(params, spec, cfg_x, *args)
+    rp = reconstruct_object(params, spec, cfg_p, *args)
+    np.testing.assert_allclose(np.asarray(rp.t_cam_obj),
+                               np.asarray(rx.t_cam_obj), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(rp.code), np.asarray(rx.code),
+                               atol=2e-3)
+    assert bool(rp.is_good) == bool(rx.is_good)
