@@ -90,13 +90,41 @@ class KittiSequence:
 
     def detections(self, i: int) -> list[ObjectDetection]:
         if self.labels_dir is not None:
+            base = os.path.splitext(self.left[i])[0]
+            raw = os.path.join(self.labels_dir, base + "_raw.npz")
+            if os.path.isfile(raw):
+                return self.detections_from_raw(i, raw)
             return load_label_file(
-                os.path.join(self.labels_dir,
-                             os.path.splitext(self.left[i])[0] + ".npz")
+                os.path.join(self.labels_dir, base + ".npz")
             )
         if self.detector_fn is not None:
             return self.detector_fn(self, i)
         return []
+
+    def detections_from_raw(self, i: int, path: str):
+        """Assemble detections in-framework from RAW detector outputs —
+        3D boxes (PointPillars-style (N, 7) rows) + 2D instance masks —
+        via projected-LiDAR mask voting + occlusion masks (the reference's
+        online assembly, `kitti_sequence.py:99-216`).  The raw npz carries
+        `boxes_3d`, `masks` (M, H, W) and `bboxes_2d` (M, 4)."""
+        from dsp_slam_rgbd_tpu.system.detections import (
+            assemble_kitti_detections)
+
+        z = np.load(path)
+        name = os.path.splitext(self.left[i])[0] + ".bin"
+        velo = np.fromfile(os.path.join(self.root, "velodyne", name),
+                           np.float32).reshape(-1, 4)[:, :3]
+        K = self.P2[:3, :3]
+        masks = z["masks"].astype(bool) if "masks" in z.files else \
+            np.zeros((0, 1, 1), bool)
+        img_hw = masks.shape[1:] if len(masks) else (376, 1241)
+        bboxes = z["bboxes_2d"] if "bboxes_2d" in z.files else \
+            np.zeros((len(masks), 4))
+        dets, _ = assemble_kitti_detections(
+            K, np.linalg.inv(K), self.T_cam_velo, velo,
+            z["boxes_3d"].astype(np.float32), masks, bboxes, img_hw,
+        )
+        return dets
 
 
 class RgbdSequence:

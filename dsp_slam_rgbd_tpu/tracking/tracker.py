@@ -150,6 +150,17 @@ class Tracker:
             )
             ur = sm.u_right
             dep = sm.depth
+        if any(abs(d) > 0.0 for d in self.cfg.cam.dist):
+            # keypoint undistortion (reference `Frame::UndistortKeyPoints`,
+            # Frame.cc:421-435): all downstream geometry — matching windows,
+            # pose GN, triangulation — uses undistorted coordinates.  It
+            # runs AFTER stereo matching, which needs raw pixel alignment
+            # with the images (stereo/KITTI inputs are rectified anyway;
+            # distortion is the mono/Freiburg path).
+            from dsp_slam_rgbd_tpu.ops import camera as cam_ops
+
+            feats = feats._replace(
+                xy=cam_ops.undistort_pixels(self.cfg.cam, feats.xy))
         return Frame(feats, ur, dep, jnp.eye(4),
                      jnp.full(F, -1, jnp.int32), timestamp)
 
@@ -242,6 +253,11 @@ class Tracker:
             frame.feats.valid,
             mask=matcher.radius_mask(ref.feats.xy, frame.feats.xy, 100.0),
             max_dist=matcher.TH_LOW, ratio=0.9, mutual=True,
+            # rotation-consistency histogram gate (reference
+            # `SearchForInitialization`, ORBmatcher.cc:405 + rotHist): keep
+            # only matches in the 3 dominant angle-difference bins
+            angles_a=ref.feats.angle, angles_b=frame.feats.angle,
+            check_rotation=True,
         )
         n_m = int(jnp.sum(m.valid))
         if n_m < 100:

@@ -206,3 +206,43 @@ def test_descriptors_flat_match_patch_gather():
     d_flat = orb.descriptors_flat(img, xy, ang)
     d_ref = orb.descriptors(orb.gather_patches(img, xy), ang)
     assert np.array_equal(np.asarray(d_flat), np.asarray(d_ref))
+
+
+def test_frame_undistortion_plumbed():
+    """Distortion in the camera config undistorts keypoint coordinates in
+    make_frame (reference Frame::UndistortKeyPoints, Frame.cc:421-435)."""
+    import numpy as np
+    from dsp_slam_rgbd_tpu.config import SystemConfig, MapConfig
+    from dsp_slam_rgbd_tpu.frontend.orb import OrbConfig
+    from dsp_slam_rgbd_tpu.ops import camera as cam_ops
+    from dsp_slam_rgbd_tpu.tracking.tracker import Tracker
+    from dsp_slam_rgbd_tpu.mapping import map_state as ms
+
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter
+    img = gaussian_filter(rng.uniform(0, 255, (120, 160)), 1.0).astype(
+        np.float32)
+
+    cam0 = cam_ops.Intrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0)
+    cam1 = cam0._replace(dist=(-0.25, 0.05, 0.001, -0.002, 0.0))
+
+    def frame_of(cam):
+        cfg = SystemConfig(sensor="mono", cam=cam,
+                           orb=OrbConfig(n_features=200, n_levels=2),
+                           map=MapConfig(max_kf=4, max_feat=256,
+                                         max_pts=512, max_obj=2))
+        tr = Tracker(cfg, ms.empty(max_kf=4, max_feat=256, max_pts=512))
+        return tr.make_frame(img)
+
+    f0 = frame_of(cam0)
+    f1 = frame_of(cam1)
+    raw = np.asarray(f0.feats.xy)
+    und = np.asarray(f1.feats.xy)
+    v = np.asarray(f0.feats.valid) & np.asarray(f1.feats.valid)
+    # same detections, coordinates mapped through undistort_pixels
+    expect = np.asarray(cam_ops.undistort_pixels(cam1, f0.feats.xy))
+    np.testing.assert_allclose(und[v], expect[v], atol=1e-3)
+    # barrel distortion actually moves off-center points
+    off = v & (np.abs(raw[:, 0] - 80.0) > 30.0)
+    if off.any():
+        assert np.abs(und[off] - raw[off]).max() > 0.5

@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Whole-pipeline FPS benchmark: tracking + keyframe stages interleaved.
+
+The reference's end-to-end envelope is ~10 FPS for the full system —
+per-frame ORB extraction + stereo match + 2x motion-only BA, plus
+keyframe-rate map maintenance, object GN reconstruction and local joint BA
+(`README.md:3`, `dsp_slam.cc:109-118`).  This harness runs OUR full system
+loop (SLAMSystem.track_stereo with detections) on a synthetic KITTI-sized
+tilted-plane stereo sequence with one object detection per keyframe, and
+reports end-to-end FPS plus the tracking-only and keyframe-stage split.
+
+Synthetic rendering happens up front (host) and is excluded from timing.
+Run on the TPU build machine:  python tools/bench_pipeline.py
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+H, W = 376, 1241          # KITTI odometry image size
+FX = 718.856
+BASELINE = 0.537          # KITTI stereo baseline (m)
+PLANE_Z = 18.0
+PLANE_TILT = 0.3
+STEP = 0.35               # per-frame forward motion
+
+
+def render(texture, cam_x, tex_scale=40.0):
+    from scipy.ndimage import map_coordinates
+
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    dx = (u - W / 2) / FX
+    dy = (v - H / 2) / FX
+    t = (PLANE_Z + PLANE_TILT * cam_x) / (1.0 - PLANE_TILT * dx)
+    X = cam_x + dx * t
+    Y = dy * t
+    tx = X * tex_scale / 10.0 + texture.shape[1] / 2
+    ty = Y * tex_scale / 10.0 + texture.shape[0] / 2
+    return map_coordinates(texture, [ty, tx], order=1, mode="wrap").astype(
+        np.float32
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=36)
+    ap.add_argument("--warmup", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from dsp_slam_rgbd_tpu.config import (MapConfig, SystemConfig,
+                                          TrackingConfig)
+    from dsp_slam_rgbd_tpu.frontend.orb import OrbConfig
+    from dsp_slam_rgbd_tpu.models import deepsdf
+    from dsp_slam_rgbd_tpu.ops import camera as cam_ops
+    from dsp_slam_rgbd_tpu.recon.optimizer import ReconConfig
+    from dsp_slam_rgbd_tpu.system.detections import make_detection
+    from dsp_slam_rgbd_tpu.system.slam import SLAMSystem
+
+    cam = cam_ops.Intrinsics(fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+                             bf=FX * BASELINE)
+    cfg = SystemConfig(
+        sensor="stereo", cam=cam,
+        orb=OrbConfig(),  # 2000 features, 8 levels (KITTI00-02.yaml)
+        recon=ReconConfig.tpu_fast(),
+        tracking=TrackingConfig(fps=10.0, th_depth=35.0,
+                                max_frames_between_kf=5),
+        map=MapConfig(max_kf=48, max_feat=2048, max_pts=32768, max_obj=8,
+                      max_oobs=256, local_window=8),
+    )
+    spec = deepsdf.DecoderSpec()
+    params = deepsdf.init_params(spec, jax.random.PRNGKey(0))
+    system = SLAMSystem(cfg, decoder_params=params, decoder_spec=spec)
+
+    print("rendering synthetic sequence...", flush=True)
+    rng = np.random.default_rng(0)
+    texture = gaussian_filter(rng.uniform(0, 255, (4096, 4096)), 1.2).astype(
+        np.float32)
+    frames = []
+    for i in range(args.frames):
+        x = i * STEP
+        frames.append((render(texture, x), render(texture, x + BASELINE)))
+
+    det_t_co_w = np.eye(4, dtype=np.float32)
+    det_t_co_w[:3, 3] = [2.0, 0.5, 14.0]
+
+    def dets_for(i):
+        t_cw = np.eye(4, dtype=np.float32)
+        t_cw[0, 3] = -i * STEP
+        t_co = t_cw @ det_t_co_w
+        d = rng.standard_normal((200, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        pts_cam = (d * 0.8) @ t_co[:3, :3].T + t_co[:3, 3]
+        vis = pts_cam[pts_cam[:, 2] > 0][:128]
+        depths = np.linalg.norm(vis, axis=1)
+        rays = vis / depths[:, None]
+        return [make_detection(t_co, pts=pts_cam, rays=rays, depth=depths,
+                               n_fg=len(rays))]
+
+    print("warmup (compiles)...", flush=True)
+    t_frames = []
+    kf_before = 0
+    t_track, t_kf = 0.0, 0.0
+    for i, (il, ir) in enumerate(frames):
+        t0 = time.perf_counter()
+        out = system.track_stereo(il, ir, timestamp=0.1 * i,
+                                  detections=dets_for(i))
+        # force completion: fetch the pose (single host sync per frame,
+        # block_until_ready does not sync through the axon tunnel)
+        np.asarray(out["frame"].t_cw if out.get("frame") is not None
+                   else system.state.kf_pose[0])
+        dt = time.perf_counter() - t0
+        if i >= args.warmup:
+            t_frames.append((dt, out["new_kf"]))
+        if i == args.warmup - 1:
+            print("  timed section starts", flush=True)
+
+    total = sum(d for d, _ in t_frames)
+    n = len(t_frames)
+    kf_frames = [d for d, k in t_frames if k]
+    tr_frames = [d for d, k in t_frames if not k]
+    fps = n / total
+    out = {
+        "metric": "pipeline_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s (KITTI-size stereo, full system loop)",
+        "vs_baseline": round(fps / 10.0, 2),
+        "frames": n,
+        "keyframes": len(kf_frames),
+        "track_only_ms": round(1e3 * float(np.median(tr_frames)), 1)
+        if tr_frames else None,
+        "kf_frame_ms": round(1e3 * float(np.median(kf_frames)), 1)
+        if kf_frames else None,
+        "n_kf_total": system.n_kf,
+        "objects": int(np.asarray(system.state.obj_valid).sum()),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
