@@ -129,9 +129,14 @@ def mono_detection_from_mask(mask: np.ndarray, invK: np.ndarray,
 
 
 def box_to_t_velo_obj(trans, size, theta) -> np.ndarray:
-    """SE(3) from a KITTI-style 3D box (velodyne frame): the reference's
-    axis convention maps object y up out of the velodyne z axis
-    (`kitti_sequence.py:115-121`)."""
+    """SE(3) from a KITTI-style 3D box (velodyne frame).
+
+    Convention (reference `kitti_sequence.py:115-121,131`): `size` is
+    **(w, l, h)** — width, length, height — and `trans` is the box
+    *bottom* center, so the object origin is lifted by half the height
+    (`trans[2] + size[2] / 2`).  The rotation maps the object's up axis
+    (y) onto velodyne +z, object x (width) into the velodyne xy-plane at
+    yaw theta, and object z (length) perpendicular to it."""
     return np.array([
         [np.cos(theta), 0, -np.sin(theta), trans[0]],
         [-np.sin(theta), 0, -np.cos(theta), trans[1]],
@@ -159,9 +164,11 @@ def assemble_kitti_detections(K, invK, t_cam_velo, velo_pts, boxes_3d,
       * occlusion mask per instance = union of all closer instances' masks
         (:177-216).
 
-    boxes_3d: (N, 7) [x, y, z, w, h, l(=dz?), theta] velodyne-frame rows as
-    the reference's detector emits (trans=box[:3], size=box[3:6],
-    theta=box[6]).  masks_2d: (M, H, W) bool.  bboxes_2d: (M, 4) l,t,r,b.
+    boxes_3d: (N, 7) [x, y, z, w, l, h, theta] velodyne-frame rows exactly
+    as the reference's PointPillars detector emits (trans=box[:3] = bottom
+    center, size=box[3:6] = (width, length, height), theta=box[6] — see
+    `kitti_sequence.py:115-132`).  masks_2d: (M, H, W) bool.
+    bboxes_2d: (M, 4) l,t,r,b.
     Returns (detections, occ_masks): parallel lists; occ_masks entries are
     (H, W) bool or None for unassociated boxes.
     """
@@ -185,7 +192,9 @@ def assemble_kitti_detections(K, invK, t_cam_velo, velo_pts, boxes_3d,
         )
         pn = velo_pts[nearby, :3]
         po = pn @ T_obj_velo[:3, :3].T + T_obj_velo[:3, 3]
-        w, h, l = size / 2.0
+        # size = (w, l, h); object frame: x = width, y = height (up),
+        # z = length (reference kitti_sequence.py:131-139)
+        w, l, h = size / 2.0
         w, l = w * 1.1, l * 1.1  # reference inflates w and l only
         on_surf = (
             (po[:, 0] > -w) & (po[:, 0] < w)
