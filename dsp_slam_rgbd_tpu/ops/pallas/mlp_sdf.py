@@ -288,10 +288,20 @@ def _flatten_batched(axis_size, code, code_b, xyz, xyz_b):
         N = xyz.shape[0]
         xyz_flat = jnp.broadcast_to(xyz, (B,) + xyz.shape).reshape(B * N, 3)
     if code_b:
-        rows = code if code.ndim == 2 else code.reshape(B, -1)
-        codes = jnp.repeat(rows, N, axis=0)         # (B·N, 64)
+        if code.ndim == 3:
+            # vmapped per-point codes (B, N, 64) -> (B·N, 64) row-aligned
+            # with xyz_flat (no repeat — each row already has its code)
+            assert code.shape[1] == N, (
+                f"per-point code batch {code.shape} does not match "
+                f"xyz rows {N}")
+            codes = code.reshape(B * N, code.shape[2])
+        else:                                       # one code per element
+            codes = jnp.repeat(code, N, axis=0)     # (B·N, 64)
+    elif code.ndim == 2 and xyz_b:
+        # unbatched per-point codes shared across the batch: tile rows
+        codes = jnp.tile(code, (B, 1))
     else:
-        codes = code
+        codes = code                                # shared (64,) code
     return codes, xyz_flat, N
 
 

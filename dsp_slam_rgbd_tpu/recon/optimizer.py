@@ -84,6 +84,22 @@ class ReconConfig(NamedTuple):
 FAST_DTYPE = jnp.bfloat16
 
 
+def _pallas_pack(params, spec):
+    """Validate the decoder against the Pallas kernel's static layout and
+    pack its weights.  A mismatched arch would silently zero-pad into the
+    fixed 128/9x512 layout and return wrong SDF values, so fail loudly."""
+    from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
+
+    if not mlp_sdf.compatible(spec):
+        raise ValueError(
+            "cfg.use_pallas requires the cars/chairs_64 decoder layout "
+            "(latent 64, 8x512 dims, latent_in=(4,)); got "
+            f"latent={getattr(spec, 'latent_size', None)} "
+            f"dims={getattr(spec, 'dims', None)} "
+            f"latent_in={getattr(spec, 'latent_in', None)}")
+    return mlp_sdf.pack_params_jnp(params, spec)  # once per call
+
+
 class ReconResult(NamedTuple):
     t_cam_obj: jnp.ndarray  # (4, 4) Sim(3)
     code: jnp.ndarray       # (L,)
@@ -110,11 +126,7 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
     L = cfg.code_len
     code0 = jnp.zeros(L) if code_init is None else code_init[:L]
     t_obj_cam0 = lie.inv_sim3(jnp.asarray(t_cam_obj, jnp.float32))
-    wb = None
-    if cfg.use_pallas:
-        from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
-
-        wb = mlp_sdf.pack_params_jnp(params, spec)  # once per call
+    wb = _pallas_pack(params, spec) if cfg.use_pallas else None
 
     def body(_, carry):
         t_obj_cam, code, good, loss_prev = carry
@@ -217,11 +229,7 @@ def estimate_pose_cam_obj(params, spec, cfg: ReconConfig, t_co_se3, scale,
     t_cam_obj = jnp.asarray(t_co_se3, jnp.float32)
     t_cam_obj = t_cam_obj.at[:3, :3].multiply(scale)
     t_obj_cam = lie.inv_sim3(t_cam_obj)
-    wb = None
-    if cfg.use_pallas:
-        from dsp_slam_rgbd_tpu.ops.pallas import mlp_sdf
-
-        wb = mlp_sdf.pack_params_jnp(params, spec)
+    wb = _pallas_pack(params, spec) if cfg.use_pallas else None
 
     def body(e, carry):
         t_oc, mask, loss_prev = carry

@@ -139,7 +139,9 @@ def process_detected_objects(state: ms.MapState, cam, recon_cfg,
     t_cw = jnp.asarray(state.kf_pose[kf_slot])
     for d, det in enumerate(dets):
         o = int(assoc[d])
-        if o < 0 or not bool(state.obj_valid[o]):
+        # det->isGood gate: <20 in-mask keypoints means the detection is
+        # too weak to drive a refit (reference LocalMapping_util.cc:275)
+        if o < 0 or not bool(state.obj_valid[o]) or not det.is_good:
             continue
         n_passed = kfseq - int(state.obj_ref_kfseq[o])
 
