@@ -1,1 +1,1 @@
-from dsp_slam_rgbd_tpu.ops import lie, robust, camera, gn  # noqa: F401
+from dsp_slam_rgbd_tpu.ops import lie, robust, camera  # noqa: F401
