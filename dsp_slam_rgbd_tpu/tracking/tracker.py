@@ -87,6 +87,18 @@ def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
     return jnp.where(m.valid, m.idx, -1), m.valid
 
 
+@jax.jit
+def _kf_point_votes(state: ms.MapState, pt_in_set: jnp.ndarray) -> jnp.ndarray:
+    """(K,) number of the frame's tracked points each keyframe observes
+    (the voting loop of `Tracking::UpdateLocalKeyFrames`,
+    `src/Tracking.cc:1335-1365`).  pt_in_set: (P,) bool membership of the
+    frame's matched map points."""
+    ok = ms._obs_ok(state)
+    hit = ok & pt_in_set[jnp.maximum(state.kf_feat_pt, 0)]
+    return jnp.sum(hit, axis=1).astype(jnp.int32) \
+        * state.kf_valid.astype(jnp.int32)
+
+
 def _gather_local_points(state: ms.MapState, kf_window: np.ndarray):
     """Host: indices of points observed by the KF window, capped."""
     kf_mask = jnp.zeros(state.kf_valid.shape[0], bool)
@@ -306,8 +318,11 @@ class Tracker:
         if self.last_frame is None:
             return frame, False
         t_pred = self.velocity @ self.last_frame.t_cw
+        # candidate points: the covisible window of the LAST frame's tracked
+        # points (the reference matches against the last frame's map points,
+        # `ORBmatcher::SearchByProjection(F, LastFrame)`, :1328)
         idx, mask = _gather_local_points(
-            self.state, self._local_kf_window()
+            self.state, self._local_kf_window(self.last_frame.pt_idx)
         )
         pt_idx, matched = match_local_points(
             self.cfg.cam, t_pred, self.state.pt_pos[idx],
@@ -347,8 +362,10 @@ class Tracker:
 
     def _track_local_map(self, frame: Frame):
         """Re-match against the full local point set at the refined pose and
-        optimize once more (:1012)."""
-        idx, mask = _gather_local_points(self.state, self._local_kf_window())
+        optimize once more (:1012).  The local set is covisibility-retrieved
+        from the frame's own matches (UpdateLocalKeyFrames role)."""
+        idx, mask = _gather_local_points(
+            self.state, self._local_kf_window(frame.pt_idx))
         pt_idx, matched = match_local_points(
             self.cfg.cam, frame.t_cw, self.state.pt_pos[idx],
             self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
@@ -422,7 +439,48 @@ class Tracker:
                 return True
         return self.n_inliers_last < 60 and since >= 1
 
-    def _local_kf_window(self) -> np.ndarray:
+    def _local_kf_window(self, pt_idx=None) -> np.ndarray:
+        """Local keyframes by shared observations (reference
+        `Tracking::UpdateLocalKeyFrames`, `src/Tracking.cc:1309-1365`):
+        every KF observing one of the frame's tracked map points votes;
+        the top `local_window` voted KFs are kept, extended by the best
+        covisible neighbors of the strongest voters, and the top voter
+        becomes the reference KF.  After a loop closure this re-acquires
+        loop-side keyframes that a recency window can never reach.
+
+        Falls back to the most recent KFs when there are no matched
+        points yet (bootstrap, post-reloc first frame)."""
+        if pt_idx is not None:
+            pt = np.asarray(pt_idx)
+            pts = np.unique(pt[pt >= 0])
+        else:
+            pts = np.zeros(0, np.int64)
+        if len(pts) == 0:
+            return self._recent_window()
+        P = self.state.pt_pos.shape[0]
+        in_set = jnp.zeros(P, bool).at[jnp.asarray(pts)].set(True)
+        votes = np.asarray(_kf_point_votes(self.state, in_set))
+        voters = np.nonzero(votes > 0)[0]
+        if len(voters) == 0:
+            return self._recent_window()
+        order = voters[np.argsort(-votes[voters])]
+        n_keep = self.cfg.map.local_window
+        window = list(order[:n_keep])
+        # reference KF = the KF sharing the most observations (:1395-1398)
+        self.ref_kf = int(order[0])
+        # extend with the best covisible neighbor of the strongest voters
+        # (the neighbor expansion of :1368-1392, capped)
+        for k in order[: min(3, len(order))]:
+            nb, w = covis.best_covisible(self.state, int(k), 1)
+            if int(w[0]) >= covis.MIN_WEIGHT and int(nb[0]) not in window:
+                window.append(int(nb[0]))
+        # always include the newest KF: brand-new points live there first
+        recent = self._recent_window()
+        if len(recent) and recent[-1] not in window:
+            window.append(int(recent[-1]))
+        return np.asarray(window, np.int64)
+
+    def _recent_window(self) -> np.ndarray:
         valid = np.nonzero(np.asarray(self.state.kf_valid))[0]
         return valid[-self.cfg.map.local_window:] if len(valid) else \
             np.zeros(0, np.int64)
