@@ -96,49 +96,80 @@ def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
 
 
 def triangulate_new_points(state: ms.MapState, cam, kf_slot: int,
-                           max_new: int = 256) -> ms.MapState:
-    """Two-view triangulation with the best covisible neighbor
-    (CreateNewMapPoints :259, epipolar-constrained match)."""
-    order, weights = covis.best_covisible(state, kf_slot, 1)
-    nb = int(order[0])
-    if nb == kf_slot or int(weights[0]) < covis.MIN_WEIGHT:
-        return state
-
+                           max_new: int = 256, n_neighbors: int = 10
+                           ) -> ms.MapState:
+    """Two-view triangulation against the best covisible neighbors
+    (CreateNewMapPoints :259: nn = 10 stereo / 20 mono neighbors, baseline
+    gate, epipolar-constrained match).  Features claimed against one
+    neighbor leave the free pool before the next, like the reference's
+    sequential per-neighbor loop."""
+    order, weights = covis.best_covisible(state, kf_slot, n_neighbors)
+    order, weights = np.asarray(order), np.asarray(weights)
+    t1 = state.kf_pose[kf_slot]
+    c1 = lie.inv_se3(t1)[:3, 3]
+    is_stereo = cam.bf > 0.0
     free_a = state.kf_feat_valid[kf_slot] & (state.kf_feat_pt[kf_slot] < 0)
-    free_b = state.kf_feat_valid[nb] & (state.kf_feat_pt[nb] < 0)
-    m = matcher.match(state.kf_desc[kf_slot], free_a, state.kf_desc[nb],
-                      free_b, max_dist=matcher.TH_LOW, ratio=0.8,
-                      mutual=True)
-    uv1 = state.kf_xy[kf_slot]
-    uv2 = state.kf_xy[nb][jnp.maximum(m.idx, 0)]
-    pts = tri.triangulate_two_views(cam, cam, state.kf_pose[kf_slot],
-                                    state.kf_pose[nb], uv1, uv2)
-    masks = tri.acceptance_masks(cam, cam, state.kf_pose[kf_slot],
-                                 state.kf_pose[nb], pts, uv1, uv2)
-    good = np.asarray(
-        m.valid & masks["parallax"] & masks["depth"] & masks["reproj"]
-        & jnp.all(jnp.isfinite(pts), axis=-1)
-    )
-    chosen = np.nonzero(good)[0][:max_new]
-    if len(chosen) == 0:
-        return state
-    slots = ms.alloc_slots(state.pt_valid, len(chosen))
-    ok = slots >= 0
-    chosen, slots = chosen[ok], slots[ok]
-    if len(chosen) == 0:
-        return state
-    sl = jnp.asarray(slots)
-    ch = jnp.asarray(chosen)
-    nb_feat = m.idx[ch]
-    state = state._replace(
-        pt_pos=state.pt_pos.at[sl].set(pts[ch]),
-        pt_valid=state.pt_valid.at[sl].set(True),
-        pt_desc=state.pt_desc.at[sl].set(state.kf_desc[kf_slot][ch]),
-        pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot),
-        pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot),
-        kf_feat_pt=state.kf_feat_pt.at[kf_slot, ch].set(sl.astype(jnp.int32))
-        .at[nb, nb_feat].set(sl.astype(jnp.int32)),
-    )
+    budget = max_new
+    for nb, w in zip(order, weights):
+        nb = int(nb)
+        if nb == kf_slot or int(w) < covis.MIN_WEIGHT or budget <= 0:
+            continue
+        # baseline gate (reference :289-306): stereo skips neighbors closer
+        # than the stereo baseline; mono requires baseline/median-depth>0.01
+        c2 = lie.inv_se3(state.kf_pose[nb])[:3, 3]
+        baseline = float(jnp.linalg.norm(c2 - c1))
+        if is_stereo:
+            if baseline < cam.bf / cam.fx:
+                continue
+        else:
+            obs_pt = state.kf_feat_pt[nb]
+            seen = (obs_pt >= 0) & state.kf_feat_valid[nb]
+            if bool(jnp.any(seen)):
+                pc = lie.transform_points(
+                    state.kf_pose[nb],
+                    state.pt_pos[jnp.maximum(obs_pt, 0)])
+                z = np.asarray(jnp.where(seen, pc[:, 2], jnp.nan))
+                med = float(np.nanmedian(z))
+                if med > 0 and baseline / med < 0.01:
+                    continue
+
+        free_b = state.kf_feat_valid[nb] & (state.kf_feat_pt[nb] < 0)
+        m = matcher.match(state.kf_desc[kf_slot], free_a, state.kf_desc[nb],
+                          free_b, max_dist=matcher.TH_LOW, ratio=0.8,
+                          mutual=True)
+        uv1 = state.kf_xy[kf_slot]
+        uv2 = state.kf_xy[nb][jnp.maximum(m.idx, 0)]
+        pts = tri.triangulate_two_views(cam, cam, t1, state.kf_pose[nb],
+                                        uv1, uv2)
+        masks = tri.acceptance_masks(cam, cam, t1, state.kf_pose[nb],
+                                     pts, uv1, uv2)
+        good = np.asarray(
+            m.valid & masks["parallax"] & masks["depth"] & masks["reproj"]
+            & jnp.all(jnp.isfinite(pts), axis=-1)
+        )
+        chosen = np.nonzero(good)[0][:budget]
+        if len(chosen) == 0:
+            continue
+        slots = ms.alloc_slots(state.pt_valid, len(chosen))
+        ok = slots >= 0
+        chosen, slots = chosen[ok], slots[ok]
+        if len(chosen) == 0:
+            return state  # point capacity exhausted
+        budget -= len(chosen)
+        sl = jnp.asarray(slots)
+        ch = jnp.asarray(chosen)
+        nb_feat = m.idx[ch]
+        state = state._replace(
+            pt_pos=state.pt_pos.at[sl].set(pts[ch]),
+            pt_valid=state.pt_valid.at[sl].set(True),
+            pt_desc=state.pt_desc.at[sl].set(state.kf_desc[kf_slot][ch]),
+            pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot),
+            pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot),
+            kf_feat_pt=state.kf_feat_pt
+            .at[kf_slot, ch].set(sl.astype(jnp.int32))
+            .at[nb, nb_feat].set(sl.astype(jnp.int32)),
+        )
+        free_a = free_a.at[ch].set(False)
     return state
 
 
@@ -235,37 +266,42 @@ def cull_points(state: ms.MapState, current_kf: int,
 
 
 def cull_keyframes(state: ms.MapState, kf_slot: int,
-                   redundancy: float = 0.9):
-    """KeyFrameCulling (:684): a local KF whose points are ≥90% seen by ≥3
-    other KFs is removed.  Returns (state, culled_slot or −1) — the caller
-    must purge the slot from the BoW database and re-anchor any frame
+                   redundancy: float = 0.9, max_cull: int = 4):
+    """KeyFrameCulling (:684): local KFs whose points are ≥90% seen by ≥3
+    other KFs are removed.  Returns (state, [culled_slots]) — the caller
+    must purge each slot from the BoW database and re-anchor any frame
     trajectory entries referencing it (the reference re-parents frames to
-    the spanning tree on culling).  The culled slot's pose array entry is
-    left intact so re-anchoring can read it.
+    the spanning tree on culling).  Culled slots' pose array entries are
+    left intact so re-anchoring can read them.
 
-    Fully vectorized (one device program, no O(K²) host loop): per-KF
-    redundancy fractions come from one masked reduction over the (K, F)
-    observation table."""
-    n_obs = ms.point_obs_counts(state)                      # (P,)
-    local = (covis.covisibility_row(state, kf_slot) >= covis.MIN_WEIGHT) \
-        & state.kf_valid
-    local = local.at[kf_slot].set(False)  # never cull the fresh KF
-    ok = ms._obs_ok(state)                                  # (K, F)
-    pt = jnp.maximum(state.kf_feat_pt, 0)
-    redundant = ok & (n_obs[pt] >= 4)                       # seen by ≥3 others
-    mine = jnp.sum(ok, axis=1).astype(jnp.float32)          # (K,)
-    red = jnp.sum(redundant, axis=1).astype(jnp.float32)
-    cand = local & (mine > 0) & (red >= redundancy * mine)
-    # at most one per round, like the reference: the most redundant one
-    frac = jnp.where(cand, red / jnp.maximum(mine, 1.0), -1.0)
-    k = int(jnp.argmax(frac))
-    if not bool(cand[k]):
-        return state, -1
-    state = state._replace(
-        kf_valid=state.kf_valid.at[k].set(False),
-        kf_feat_pt=state.kf_feat_pt.at[k].set(-1),
-    )
-    return state, k
+    Like the reference's sequential per-KF loop, removal is iterative — a
+    cull changes the observation counts the next candidate is judged by —
+    but each round's redundancy fractions come from one vectorized masked
+    reduction over the (K, F) observation table (no O(K²) host loop).
+    `max_cull` bounds the rounds (the reference visits each local KF once;
+    in practice few pass the 90% gate)."""
+    culled = []
+    for _ in range(max_cull):
+        n_obs = ms.point_obs_counts(state)                  # (P,)
+        local = (covis.covisibility_row(state, kf_slot) >= covis.MIN_WEIGHT) \
+            & state.kf_valid
+        local = local.at[kf_slot].set(False)  # never cull the fresh KF
+        ok = ms._obs_ok(state)                              # (K, F)
+        pt = jnp.maximum(state.kf_feat_pt, 0)
+        redundant = ok & (n_obs[pt] >= 4)                   # seen by ≥3 others
+        mine = jnp.sum(ok, axis=1).astype(jnp.float32)      # (K,)
+        red = jnp.sum(redundant, axis=1).astype(jnp.float32)
+        cand = local & (mine > 0) & (red >= redundancy * mine)
+        frac = jnp.where(cand, red / jnp.maximum(mine, 1.0), -1.0)
+        k = int(jnp.argmax(frac))
+        if not bool(cand[k]):
+            break
+        state = state._replace(
+            kf_valid=state.kf_valid.at[k].set(False),
+            kf_feat_pt=state.kf_feat_pt.at[k].set(-1),
+        )
+        culled.append(k)
+    return state, culled
 
 
 class LocalIndex(NamedTuple):

@@ -189,7 +189,10 @@ class SLAMSystem:
                 self.state, self.cfg.cam, slot, frame,
                 self.cfg.tracking.th_depth * self.cfg.cam.bf / self.cfg.cam.fx,
             )
-        self.state = lm.triangulate_new_points(self.state, self.cfg.cam, slot)
+        self.state = lm.triangulate_new_points(
+            self.state, self.cfg.cam, slot,
+            # reference nn: 10 covisible neighbors stereo, 20 mono (:259)
+            n_neighbors=10 if self.cfg.sensor in ("stereo", "rgbd") else 20)
         self.state = lm.fuse_neighbors(self.state, self.cfg.cam, slot)
         self.state = lm.cull_points(self.state, slot)
         self.state = lm.update_point_geometry(self.state)
@@ -200,8 +203,8 @@ class SLAMSystem:
         self.state = lm.local_ba_step(self.state, self.cfg.cam, slot,
                                       self.cfg.map.local_window)
         self.state, culled = lm.cull_keyframes(self.state, slot)
-        if culled >= 0:
-            self._on_keyframe_culled(culled, fallback=slot)
+        for c in culled:
+            self._on_keyframe_culled(c, fallback=slot)
         self.tracker.ref_kf = slot
         self.tracker.last_kf_frame_id = self.tracker.frame_id
         self.n_kf += 1
