@@ -69,14 +69,24 @@ def match(desc_a, valid_a, desc_b, valid_b, mask=None, max_dist=TH_LOW,
         ok = ok & (best_b[best] == jnp.arange(n))
 
     if check_rotation and angles_a is not None:
-        rot = (angles_a - angles_b[best]) % (2.0 * jnp.pi)
+        # entries with a non-finite angle (e.g. map points never seen in the
+        # last frame) are exempt from the gate and kept out of the histogram
+        ang_b = angles_b[best]
+        has_ang = jnp.isfinite(angles_a) & jnp.isfinite(ang_b)
+        rot = (angles_a - jnp.where(has_ang, ang_b, 0.0)) % (2.0 * jnp.pi)
         bins = jnp.floor(rot / (2.0 * jnp.pi) * HISTO_BINS).astype(jnp.int32)
         bins = jnp.clip(bins, 0, HISTO_BINS - 1)
         hist = jnp.zeros(HISTO_BINS, jnp.int32).at[bins].add(
-            ok.astype(jnp.int32)
+            (ok & has_ang).astype(jnp.int32)
         )
-        top3 = jax.lax.top_k(hist, 3)[1]
-        ok = ok & jnp.any(bins[:, None] == top3[None, :], axis=1)
+        top_v, top_i = jax.lax.top_k(hist, 3)
+        # reference `ComputeThreeMaxima` (ORBmatcher.cc:1444-1470): the 2nd
+        # and 3rd bins are dropped when they hold < 0.1x the dominant bin
+        keep = top_v.astype(jnp.float32) >= 0.1 * top_v[0].astype(jnp.float32)
+        keep = keep.at[0].set(True)
+        top_i = jnp.where(keep, top_i, -1)
+        in_top = jnp.any(bins[:, None] == top_i[None, :], axis=1)
+        ok = ok & (in_top | ~has_ang)
 
     return Matches(jnp.where(ok, best, -1), best_d, ok)
 

@@ -57,6 +57,18 @@ def insert_keyframe(state: ms.MapState, frame, kf_slot: int,
     return state
 
 
+def _pad_idx(a: np.ndarray, cap: int, drop: int) -> jnp.ndarray:
+    """Pad a host index array to a FIXED capacity.  `drop` should be an
+    out-of-bounds target so `mode="drop"` scatters ignore the padding (or 0
+    for gathers, whose padded rows are discarded by the paired scatter).
+    Fixed shapes keep one compiled scatter per capacity — a raw variable-
+    length `.at[idx].set` recompiles for every distinct count, which
+    profiling showed as per-keyframe XLA compiles."""
+    out = np.full(cap, drop, np.int64)
+    out[: len(a)] = a
+    return jnp.asarray(out)
+
+
 def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
                        th_depth: float, max_new: int = 256) -> ms.MapState:
     """Create map points from close stereo/RGB-D depth for features without
@@ -75,21 +87,27 @@ def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
     if len(chosen) == 0:
         return state
 
-    uv = frame.feats.xy[jnp.asarray(chosen)]
-    z = frame.depth[jnp.asarray(chosen)]
+    P = state.pt_pos.shape[0]
+    F = state.kf_feat_pt.shape[1]
+    ch = _pad_idx(chosen, max_new, 0)        # gather (pad rows dropped below)
+    sl = _pad_idx(slots, max_new, P)         # scatter target, P = dropped
+    feat_tgt = _pad_idx(chosen, max_new, F)  # feature-column target
+
+    uv = frame.feats.xy[ch]
+    z = frame.depth[ch]
     p_cam = cam_ops.backproject(cam, uv, z)
     t_wc = lie.inv_se3(frame.t_cw)
     p_w = lie.transform_points(t_wc, p_cam)
 
-    sl = jnp.asarray(slots)
+    sl_val = jnp.where(sl < P, sl, -1).astype(jnp.int32)
     state = state._replace(
-        pt_pos=state.pt_pos.at[sl].set(p_w),
-        pt_valid=state.pt_valid.at[sl].set(True),
-        pt_desc=state.pt_desc.at[sl].set(frame.feats.desc[jnp.asarray(chosen)]),
-        pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot),
-        pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot),
-        kf_feat_pt=state.kf_feat_pt.at[kf_slot, jnp.asarray(chosen)].set(
-            sl.astype(jnp.int32)
+        pt_pos=state.pt_pos.at[sl].set(p_w, mode="drop"),
+        pt_valid=state.pt_valid.at[sl].set(True, mode="drop"),
+        pt_desc=state.pt_desc.at[sl].set(frame.feats.desc[ch], mode="drop"),
+        pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot, mode="drop"),
+        pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot, mode="drop"),
+        kf_feat_pt=state.kf_feat_pt.at[kf_slot, feat_tgt].set(
+            sl_val, mode="drop"
         ),
     )
     return state
@@ -156,20 +174,29 @@ def triangulate_new_points(state: ms.MapState, cam, kf_slot: int,
         if len(chosen) == 0:
             return state  # point capacity exhausted
         budget -= len(chosen)
-        sl = jnp.asarray(slots)
-        ch = jnp.asarray(chosen)
-        nb_feat = m.idx[ch]
+        n_new = len(chosen)
+        P = state.pt_pos.shape[0]
+        F = state.kf_feat_pt.shape[1]
+        # fixed-capacity padded scatters: one compiled kernel per max_new,
+        # not one per distinct accepted-point count (see _pad_idx)
+        ch = _pad_idx(chosen, max_new, 0)
+        sl = _pad_idx(slots, max_new, P)
+        feat_tgt = _pad_idx(chosen, max_new, F)
+        live = jnp.arange(max_new) < n_new
+        nb_tgt = jnp.where(live, jnp.maximum(m.idx[ch], 0), F)
+        sl_val = jnp.where(sl < P, sl, -1).astype(jnp.int32)
         state = state._replace(
-            pt_pos=state.pt_pos.at[sl].set(pts[ch]),
-            pt_valid=state.pt_valid.at[sl].set(True),
-            pt_desc=state.pt_desc.at[sl].set(state.kf_desc[kf_slot][ch]),
-            pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot),
-            pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot),
+            pt_pos=state.pt_pos.at[sl].set(pts[ch], mode="drop"),
+            pt_valid=state.pt_valid.at[sl].set(True, mode="drop"),
+            pt_desc=state.pt_desc.at[sl].set(state.kf_desc[kf_slot][ch],
+                                             mode="drop"),
+            pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot, mode="drop"),
+            pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot, mode="drop"),
             kf_feat_pt=state.kf_feat_pt
-            .at[kf_slot, ch].set(sl.astype(jnp.int32))
-            .at[nb, nb_feat].set(sl.astype(jnp.int32)),
+            .at[kf_slot, feat_tgt].set(sl_val, mode="drop")
+            .at[nb, nb_tgt].set(sl_val, mode="drop"),
         )
-        free_a = free_a.at[ch].set(False)
+        free_a = free_a.at[feat_tgt].set(False, mode="drop")
     return state
 
 

@@ -39,6 +39,16 @@ class MonoDetection(NamedTuple):
     is_good: bool        # ≥ 20 keypoints in the mask (reference :199-202)
 
 
+class MaskLabel(NamedTuple):
+    """A raw per-frame instance-mask label from disk — the mono sequence's
+    offline-label format (the reference reads mask files per frame and
+    assembles detections with the frame's keypoints,
+    `reconstruct/mono_sequence.py:95-107` + `Tracking_util.cc:163-208`).
+    The system converts it into a `MonoDetection` at keyframe time via
+    `mono_detection_from_mask` with the current frame's keypoints."""
+    mask: np.ndarray  # (H, W) bool instance mask
+
+
 def make_detection(t_co_sim3: np.ndarray, pts=None, rays=None, depth=None,
                    n_fg: int | None = None) -> ObjectDetection:
     """Build a padded detection from ragged inputs.

@@ -175,8 +175,15 @@ class MonoSequence:
 
     def detections(self, i: int):
         if self.labels_dir is not None:
-            name = os.path.splitext(self.images[i])[0] + ".npz"
-            return load_label_file(os.path.join(self.labels_dir, name))
+            base = os.path.splitext(self.images[i])[0]
+            masks = os.path.join(self.labels_dir, base + "_masks.npz")
+            if os.path.isfile(masks):
+                # mask-only labels: the reference mono path
+                # (`mono_sequence.py:95-107`) — the system assembles
+                # MonoDetections from these at keyframe time
+                return load_mask_labels(masks)
+            return load_label_file(os.path.join(self.labels_dir,
+                                                base + ".npz"))
         return []
 
 
@@ -190,6 +197,21 @@ def save_label_file(path: str, dets: list[ObjectDetection]):
         for f in ObjectDetection._fields:
             flat[f"{i}_{f}"] = np.asarray(getattr(d, f))
     np.savez_compressed(path, **flat)
+
+
+def save_mask_labels(path: str, masks) -> None:
+    """Persist per-frame instance masks ((M, H, W) bool) — the mono
+    offline-label fixture format."""
+    np.savez_compressed(path, masks=np.asarray(masks, bool))
+
+
+def load_mask_labels(path: str) -> list:
+    from dsp_slam_rgbd_tpu.system.detections import MaskLabel
+
+    if not os.path.isfile(path):
+        return []
+    z = np.load(path)
+    return [MaskLabel(m) for m in z["masks"].astype(bool)]
 
 
 def load_label_file(path: str) -> list[ObjectDetection]:

@@ -45,6 +45,11 @@ class SLAMSystem:
         self.consistency = loop_closing.ConsistencyState()
         self.n_kf = 0
         self.loop_closures = 0
+        # staged global-BA budget: iterations still owed after a loop
+        # closure, drained a slice at a time on subsequent keyframes
+        self._gba_iters_left = 0
+        self.gba_slice_iters = 2
+        self.kf_slots_exhausted = 0  # dropped keyframes (capacity full)
         self._oobs_cursor = {}  # per-object ring cursors
         self._key = jax.random.PRNGKey(42)
         self.localization_only = False
@@ -90,6 +95,7 @@ class SLAMSystem:
             self.db = keyframe_db.empty(cfg.map.max_kf, self.vocab.n_words)
         self.consistency = loop_closing.ConsistencyState()
         self.n_kf = 0
+        self._gba_iters_left = 0
         self._oobs_cursor = {}  # per-object ring cursors
 
     # ------------------------------------------------------------------
@@ -180,6 +186,17 @@ class SLAMSystem:
     def _insert_keyframe(self, frame, detections):
         slot = ms.alloc_slots(self.state.kf_valid, 1)[0]
         if slot < 0:
+            # keyframe capacity exhausted: observable, never silent — the
+            # run continues in a degraded tracking-only mode for this frame
+            # (size the map with MapConfig.kitti_large() for real sequences)
+            self.kf_slots_exhausted += 1
+            if self.kf_slots_exhausted == 1:
+                import warnings
+
+                warnings.warn(
+                    "keyframe capacity exhausted "
+                    f"(max_kf={self.cfg.map.max_kf}); dropping keyframes — "
+                    "increase MapConfig.max_kf", RuntimeWarning)
             return
         slot = int(slot)
         self.state = lm.insert_keyframe(self.state, frame, slot,
@@ -209,6 +226,7 @@ class SLAMSystem:
         self.tracker.last_kf_frame_id = self.tracker.frame_id
         self.n_kf += 1
         self._update_bow(slot)
+        self._drain_gba_budget()  # owed post-loop global-BA slice, if any
         self._loop_stage(slot)
 
     # ------------------------------------------------------------------
@@ -218,7 +236,24 @@ class SLAMSystem:
         if self.decoder_params is None:
             return
         from dsp_slam_rgbd_tpu.system import mono_objects
-        from dsp_slam_rgbd_tpu.system.detections import MonoDetection
+        from dsp_slam_rgbd_tpu.system.detections import (
+            MaskLabel, MonoDetection, mono_detection_from_mask)
+
+        if isinstance(detections[0], MaskLabel):
+            # raw disk masks → MonoDetections with the CURRENT frame's
+            # keypoints (the reference assembles these in the tracker,
+            # `Tracking_util.cc:163-208`; masks come from the mono
+            # sequence's label files, `mono_sequence.py:95-107`)
+            cam = self.cfg.cam
+            invK = np.linalg.inv(np.asarray(
+                [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
+                 [0.0, 0.0, 1.0]], np.float32))
+            xy = np.asarray(frame.feats.xy).copy()
+            xy[~np.asarray(frame.feats.valid)] = -1e6  # never inside a mask
+            detections = [
+                mono_detection_from_mask(d.mask, invK, feats_xy=xy)
+                for d in detections
+            ]
 
         if isinstance(detections[0], MonoDetection):
             # mono path: mask-only detections, pose recovered from owned
@@ -431,12 +466,26 @@ class SLAMSystem:
             group_c & self.state.kf_valid,
         )
         self.state = loop_closing.fuse_duplicate_objects(self.state)
-        # global joint BA after the essential graph (the reference spawns
-        # RunGlobalJointBundleAdjustment in a thread; here it's the next
-        # stage of the same loop — XLA async dispatch gives the overlap);
-        # dense Schur for small maps, matrix-free PCG past ~100 pose blocks
-        self.state = lm.global_ba_step(self.state, self.cfg.cam, n_iters=10)
+        # global joint BA after the essential graph — STAGED: the reference
+        # runs GlobalJointBundleAdjustment in an abortable thread
+        # (`LoopClosing_util.cc:213,307-308`) so the frame loop never stalls;
+        # here the 10-iteration budget is drained `gba_slice_iters` at a
+        # time — one slice now, the rest on subsequent keyframes
+        # (`_drain_gba_budget`).  Each slice re-linearizes from the current
+        # state, so interleaved mapping work folds in (and a slice is the
+        # natural abort granularity).  Dense Schur for small maps,
+        # matrix-free PCG past ~100 pose blocks.
+        self._gba_iters_left = 10
+        self._drain_gba_budget()
         self.loop_closures += 1
+
+    def _drain_gba_budget(self):
+        """Run one bounded slice of the owed post-loop global BA."""
+        if self._gba_iters_left <= 0:
+            return
+        it = min(self.gba_slice_iters, self._gba_iters_left)
+        self.state = lm.global_ba_step(self.state, self.cfg.cam, n_iters=it)
+        self._gba_iters_left -= it
 
     # ------------------------------------------------------------------
     def _frame_poses(self):

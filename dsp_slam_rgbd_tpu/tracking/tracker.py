@@ -43,10 +43,12 @@ class Frame(NamedTuple):
     timestamp: float
 
 
-@partial(jax.jit, static_argnames=("cam",))
+@partial(jax.jit, static_argnames=("cam", "check_rotation"))
 def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
                        feat_desc, feat_level, feat_valid, radius,
-                       pt_normal=None, pt_min_d=None, pt_max_d=None):
+                       pt_normal=None, pt_min_d=None, pt_max_d=None,
+                       feat_angle=None, pt_angle=None,
+                       check_rotation: bool = False):
     """Project candidate points into the frame and match by descriptor.
 
     The TPU equivalent of `SearchByProjection(F, vpMapPoints)`
@@ -81,29 +83,58 @@ def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
 
     # ratio + mutual gates: a lax best-distance-only test admits wrong
     # zero-flow matches on weakly textured scenes (the reference gets the
-    # same protection from its best<0.9·second check in SearchByProjection)
+    # same protection from its best<0.9·second check in SearchByProjection).
+    # check_rotation: the rotation-consistency histogram of the reference's
+    # SearchByProjection(F, LastFrame) (`ORBmatcher.cc:1328` + rotHist) —
+    # pt_angle carries each point's keypoint angle observed in the last
+    # frame (NaN for points the last frame did not see → exempt).
     m = matcher.match(feat_desc, feat_valid, pt_desc, cand, mask=mask,
-                      max_dist=matcher.TH_HIGH, ratio=0.85, mutual=True)
+                      max_dist=matcher.TH_HIGH, ratio=0.85, mutual=True,
+                      angles_a=feat_angle, angles_b=pt_angle,
+                      check_rotation=check_rotation)
     return jnp.where(m.valid, m.idx, -1), m.valid
 
 
-@jax.jit
-def _kf_point_votes(state: ms.MapState, pt_in_set: jnp.ndarray) -> jnp.ndarray:
-    """(K,) number of the frame's tracked points each keyframe observes
-    (the voting loop of `Tracking::UpdateLocalKeyFrames`,
-    `src/Tracking.cc:1335-1365`).  pt_in_set: (P,) bool membership of the
-    frame's matched map points."""
+@partial(jax.jit, static_argnames=("n_keep",))
+def _local_window_device(state: ms.MapState, pt_in_set: jnp.ndarray,
+                         n_keep: int) -> jnp.ndarray:
+    """One fused device program for the `UpdateLocalKeyFrames` role
+    (`src/Tracking.cc:1309-1398`): vote KFs by shared observations with the
+    frame's tracked points, take the top-`n_keep` voters, the best covisible
+    neighbor of the 3 strongest, and the newest KF.  Returns ONE small int32
+    vector `[top_0..top_{n_keep-1}, nb_0..nb_2, newest]` (−1 = empty) so the
+    host pays a single fetch — the previous eager per-query version cost ~6
+    dispatch+fetch roundtrips per call, which dominated frame time.
+    """
     ok = ms._obs_ok(state)
     hit = ok & pt_in_set[jnp.maximum(state.kf_feat_pt, 0)]
-    return jnp.sum(hit, axis=1).astype(jnp.int32) \
+    votes = jnp.sum(hit, axis=1).astype(jnp.int32) \
         * state.kf_valid.astype(jnp.int32)
+    order = jnp.argsort(-votes)
+    top = order[:n_keep]
+    top = jnp.where(votes[top] > 0, top, -1).astype(jnp.int32)
+    nbs = []
+    for i in range(min(3, n_keep)):
+        row = covis.covisibility_row(state, jnp.maximum(top[i], 0))
+        b = jnp.argmax(row)
+        good = (row[b] >= covis.MIN_WEIGHT) & (top[i] >= 0)
+        nbs.append(jnp.where(good, b, -1).astype(jnp.int32))
+    newest = jnp.argmax(jnp.where(state.kf_valid, state.kf_frame_id, -1))
+    newest = jnp.where(jnp.any(state.kf_valid), newest, -1).astype(jnp.int32)
+    return jnp.concatenate([top, jnp.stack(nbs), newest[None]])
 
 
 def _gather_local_points(state: ms.MapState, kf_window: np.ndarray):
-    """Host: indices of points observed by the KF window, capped."""
-    kf_mask = jnp.zeros(state.kf_valid.shape[0], bool)
-    kf_mask = kf_mask.at[jnp.asarray(np.asarray(kf_window))].set(True)
-    pts = np.nonzero(np.asarray(ms.point_mask_of(state, kf_mask)))[0]
+    """Host: indices of points observed by the KF window, capped.
+
+    The window membership mask is built in numpy: a jnp scatter here would
+    recompile for every distinct window length (XLA specializes on the
+    index-array shape), which showed up as per-frame compiles in profiling.
+    """
+    kf_mask_np = np.zeros(state.kf_valid.shape[0], bool)
+    kf_mask_np[np.asarray(kf_window)] = True
+    pts = np.nonzero(np.asarray(ms.point_mask_of(state,
+                                                 jnp.asarray(kf_mask_np))))[0]
     idx = np.full(LOCAL_PTS, 0, np.int32)
     n = min(len(pts), LOCAL_PTS)
     idx[:n] = pts[:n]
@@ -134,6 +165,7 @@ class Tracker:
         self.relative_trajectory = []
         self.n_inliers_last = 0
         self._key = jax.random.PRNGKey(0)
+        self._kv_memo = None  # (kf_valid device array, host copy)
         # optional place-recognition hook: frame -> candidate KF slots
         # (installed by the System when a BoW database exists — the
         # `DetectRelocalizationCandidates` path, KeyFrameDatabase.cc:199)
@@ -234,7 +266,7 @@ class Tracker:
         self.last_frame = frame
         out["frame"] = frame
         out["ok"] = ok
-        out["new_kf"] = ok and self._need_new_keyframe()
+        out["new_kf"] = ok and self._need_new_keyframe(frame)
         return out
 
     # ------------------------------------------------------------------
@@ -324,6 +356,14 @@ class Tracker:
         idx, mask = _gather_local_points(
             self.state, self._local_kf_window(self.last_frame.pt_idx)
         )
+        # per-point keypoint angle as observed in the LAST frame, NaN for
+        # points it did not track — feeds the rotation-consistency gate
+        # (reference rotHist in SearchByProjection(F, LastFrame), :1328)
+        lf = self.last_frame
+        P = self.state.pt_pos.shape[0]
+        scatter_to = jnp.where(lf.pt_idx >= 0, lf.pt_idx, P)
+        pt_angle = jnp.full(P + 1, jnp.nan, jnp.float32) \
+            .at[scatter_to].set(lf.feats.angle)[:P]
         pt_idx, matched = match_local_points(
             self.cfg.cam, t_pred, self.state.pt_pos[idx],
             self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
@@ -332,6 +372,8 @@ class Tracker:
             pt_normal=self.state.pt_normal[idx],
             pt_min_d=self.state.pt_min_d[idx],
             pt_max_d=self.state.pt_max_d[idx],
+            feat_angle=frame.feats.angle, pt_angle=pt_angle[idx],
+            check_rotation=True,
         )
         pt_global = jnp.where(pt_idx >= 0, idx[jnp.maximum(pt_idx, 0)], -1)
         if int(jnp.sum(pt_global >= 0)) < 20:
@@ -427,17 +469,60 @@ class Tracker:
         return frame, False
 
     # ------------------------------------------------------------------
-    def _need_new_keyframe(self) -> bool:
-        """`NeedNewKeyFrame` heuristics (:1059), simplified: time since last
-        KF, or tracked-point count dropping vs the reference KF."""
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        """`Tracking::NeedNewKeyFrame` parity (`src/Tracking.cc:1059-1142`):
+
+        - close-point census (stereo/RGB-D): many near points with depth
+          that are NOT yet tracked map points, while few tracked close
+          points remain, forces a keyframe (`bNeedToInsertClose`,
+          :1085-1100) — this is what keeps map density up when driving
+          into unmapped space;
+        - c1a: ≥ MaxFrames since the last KF;
+        - c1b: ≥ MinFrames since the last KF and mapping idle (local
+          mapping is synchronous in this design, so idle is always true);
+        - c1c: non-mono and (weak tracking vs the reference KF, < 25 %, or
+          close-point pressure);
+        - c2: tracked inliers below thRefRatio of the reference KF's
+          tracked count, or close-point pressure — and > 15 inliers.
+        Insert iff (c1a | c1b | c1c) & c2."""
         since = self.frame_id - self.last_kf_frame_id
-        if since >= self.cfg.tracking.max_frames_between_kf:
-            return True
-        if self.ref_kf >= 0:
-            ref_n = int(jnp.sum(self.state.kf_feat_pt[self.ref_kf] >= 0))
-            if self.n_inliers_last < 0.5 * max(ref_n, 1) and since >= 1:
-                return True
-        return self.n_inliers_last < 60 and since >= 1
+        n_kf = int(np.asarray(self.state.kf_valid).sum())
+
+        ref_n = int(jnp.sum(self.state.kf_feat_pt[self.ref_kf] >= 0)) \
+            if self.ref_kf >= 0 else 0
+
+        need_close = False
+        if self.cfg.sensor != "mono":
+            # metric close threshold: mThDepth = bf/fx · ThDepth
+            # (`Tracking.cc:128-134`)
+            thd = self.cfg.cam.bf / self.cfg.cam.fx \
+                * self.cfg.tracking.th_depth
+            close = (frame.depth > 0) & (frame.depth < thd) \
+                & frame.feats.valid
+            n_tracked_close = int(jnp.sum(close & (frame.pt_idx >= 0)))
+            n_nontracked_close = int(jnp.sum(close & (frame.pt_idx < 0)))
+            need_close = n_nontracked_close > 70 and n_tracked_close < 100
+
+        # thRefRatio: 0.75 stereo/RGB-D, 0.9 mono, 0.4 when the map is tiny
+        # (`Tracking.cc:1103-1110`)
+        th_ref = 0.9 if self.cfg.sensor == "mono" else 0.75
+        if n_kf < 2:
+            th_ref = 0.4
+
+        c1a = since >= self.cfg.tracking.max_frames_between_kf
+        c1b = since >= self.cfg.tracking.min_frames_between_kf
+        c1c = self.cfg.sensor != "mono" and (
+            self.n_inliers_last < ref_n * 0.25 or need_close
+        )
+        c2 = (self.n_inliers_last < ref_n * th_ref or need_close) \
+            and self.n_inliers_last > 15
+        # divergence from the reference: c1a (max interval) forces insertion
+        # even under strong tracking.  The reference can defer KFs for long
+        # stretches because its mapping thread may be busy and InterruptBA
+        # covers the backlog; with synchronous mapping a bounded KF interval
+        # bounds drift between BA windows at negligible cost.
+        return ((c1a or c1b or c1c) and c2) \
+            or (c1a and self.n_inliers_last > 15)
 
     def _local_kf_window(self, pt_idx=None) -> np.ndarray:
         """Local keyframes by shared observations (reference
@@ -458,33 +543,43 @@ class Tracker:
         if len(pts) == 0:
             return self._recent_window()
         P = self.state.pt_pos.shape[0]
-        in_set = jnp.zeros(P, bool).at[jnp.asarray(pts)].set(True)
-        votes = np.asarray(_kf_point_votes(self.state, in_set))
-        voters = np.nonzero(votes > 0)[0]
+        # numpy scatter: a jnp .at[].set here recompiles per distinct
+        # tracked-point count (index-shape specialization)
+        in_set_np = np.zeros(P, bool)
+        in_set_np[pts] = True
+        n_keep = self.cfg.map.local_window
+        out = np.asarray(_local_window_device(
+            self.state, jnp.asarray(in_set_np), n_keep))
+        top, nbs, newest = out[:n_keep], out[n_keep:-1], int(out[-1])
+        voters = top[top >= 0]
         if len(voters) == 0:
             return self._recent_window()
-        order = voters[np.argsort(-votes[voters])]
-        n_keep = self.cfg.map.local_window
-        window = list(order[:n_keep])
         # reference KF = the KF sharing the most observations (:1395-1398)
-        self.ref_kf = int(order[0])
-        # extend with the best covisible neighbor of the strongest voters
-        # (the neighbor expansion of :1368-1392, capped)
-        for k in order[: min(3, len(order))]:
-            nb, w = covis.best_covisible(self.state, int(k), 1)
-            if int(w[0]) >= covis.MIN_WEIGHT and int(nb[0]) not in window:
-                window.append(int(nb[0]))
+        self.ref_kf = int(voters[0])
+        window = [int(k) for k in voters]
+        # best covisible neighbor of the strongest voters (the neighbor
+        # expansion of :1368-1392, capped at 3)
+        for b in nbs:
+            if b >= 0 and int(b) not in window:
+                window.append(int(b))
         # always include the newest KF: brand-new points live there first
-        recent = self._recent_window()
-        if len(recent) and recent[-1] not in window:
-            window.append(int(recent[-1]))
+        if newest >= 0 and newest not in window:
+            window.append(newest)
         return np.asarray(window, np.int64)
 
+    def _kf_valid_np(self) -> np.ndarray:
+        """Host copy of kf_valid, memoized by device-array identity (it only
+        changes at keyframe-rate; re-fetching per frame is a roundtrip)."""
+        kv = self.state.kf_valid
+        if self._kv_memo is None or self._kv_memo[0] is not kv:
+            self._kv_memo = (kv, np.asarray(kv))
+        return self._kv_memo[1]
+
     def _recent_window(self) -> np.ndarray:
-        valid = np.nonzero(np.asarray(self.state.kf_valid))[0]
+        valid = np.nonzero(self._kf_valid_np())[0]
         return valid[-self.cfg.map.local_window:] if len(valid) else \
             np.zeros(0, np.int64)
 
     def _recent_kfs(self, n: int):
-        valid = np.nonzero(np.asarray(self.state.kf_valid))[0]
+        valid = np.nonzero(self._kf_valid_np())[0]
         return valid[-n:][::-1].tolist()

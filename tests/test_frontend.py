@@ -246,3 +246,34 @@ def test_frame_undistortion_plumbed():
     off = v & (np.abs(raw[:, 0] - 80.0) > 30.0)
     if off.any():
         assert np.abs(und[off] - raw[off]).max() > 0.5
+
+
+def test_rotation_consistency_gate():
+    """The rotation-histogram gate (reference rotHist + ComputeThreeMaxima)
+    keeps matches in the dominant angle-difference bins, rejects scattered
+    outlier rotations, and exempts entries with no angle (NaN)."""
+    rng = np.random.default_rng(7)
+    n = 64
+    desc = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    ang_a = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    ang_b = (ang_a - 0.5).astype(np.float32)       # consistent delta 0.5
+    # 8 outliers spread one-per-bin so each bad bin holds <0.1x the max
+    bad = np.arange(50, 58)
+    ang_b[bad] = ang_a[bad] - 0.5 + np.linspace(0.7, 2.8, len(bad))
+    # 4 entries with no angle -> exempt from the gate
+    nan = np.arange(58, 62)
+    ang_b[nan] = np.nan
+    m = matcher.match(
+        jnp.asarray(desc), jnp.asarray(valid), jnp.asarray(desc),
+        jnp.asarray(valid), max_dist=10, angles_a=jnp.asarray(ang_a),
+        angles_b=jnp.asarray(ang_b), check_rotation=True,
+    )
+    ok = np.asarray(m.valid)
+    assert ok[:50].all(), "consistent-rotation matches must survive"
+    assert not ok[bad].any(), "scattered-rotation outliers must be rejected"
+    assert ok[nan].all(), "angle-less entries are exempt"
+    # without the gate everything matches (sanity)
+    m0 = matcher.match(jnp.asarray(desc), jnp.asarray(valid),
+                       jnp.asarray(desc), jnp.asarray(valid), max_dist=10)
+    assert np.asarray(m0.valid).all()

@@ -122,6 +122,16 @@ def test_system_loop_stage_closes_loop():
     sys_._loop_stage(7)
 
     assert sys_.loop_closures >= 1
+    # post-loop global BA is STAGED (the reference's abortable-GBA-thread
+    # role): one bounded slice ran at closure, the rest is owed and drained
+    # on subsequent keyframes
+    assert 0 < sys_._gba_iters_left < 10
+    drains = 0
+    while sys_._gba_iters_left > 0:
+        sys_._drain_gba_budget()
+        drains += 1
+        assert drains <= 10
+    assert sys_._gba_iters_left == 0
     # KF7 should now coincide with KF0's (undrifted) viewpoint: the
     # loop-correction pulls the drifted pose back
     e_before = np.asarray(lie.log_se3(

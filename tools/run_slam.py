@@ -5,7 +5,15 @@
 Usage:
   python tools/run_slam.py <sequence_dir> <out_dir> \
       [--sensor stereo|rgbd|mono] [--yaml cfg.yaml] [--json cfg.json] \
-      [--labels labels_dir] [--deepsdf checkpoint.npz] [--max-frames N]
+      [--labels labels_dir] [--deepsdf checkpoint.npz] [--max-frames N] \
+      [--vocab vocab.npz] [--bootstrap-vocab N]
+
+The vocabulary enables loop closing and BoW relocalization (the reference
+takes it as its first CLI argument and loads it at boot, `dsp_slam.cc:33-53`
+→ `System.cc:74-88`).  `--vocab` loads a trained npz; when the file does not
+exist and `--bootstrap-vocab N` is given, a k-medians vocabulary is trained
+on ORB descriptors from N frames sampled across the sequence and saved to
+the `--vocab` path (there is no 100 MB ORBvoc.bin to ship).
 """
 import argparse
 import os
@@ -13,6 +21,30 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _bootstrap_vocab(seq, cfg, sensor: str, n_frames: int):
+    """Train a k-medians vocabulary on ORB descriptors from `n_frames`
+    frames sampled evenly across the sequence (the in-framework substitute
+    for the reference's shipped ORBvoc.bin)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dsp_slam_rgbd_tpu.frontend import orb
+    from dsp_slam_rgbd_tpu.loop import vocabulary
+
+    idxs = np.unique(np.linspace(0, len(seq) - 1,
+                                 min(n_frames, len(seq))).astype(int))
+    descs = []
+    for i in idxs:
+        fr = seq.frame(int(i))
+        img = fr[0] if isinstance(fr, tuple) else fr
+        f = orb.extract(jnp.asarray(img, jnp.float32), cfg.orb)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    all_desc = np.concatenate(descs) if descs else np.zeros((0, 8), np.uint32)
+    print(f"training vocabulary on {len(all_desc)} descriptors "
+          f"from {len(idxs)} frames")
+    return vocabulary.train(all_desc)
 
 
 def main():
@@ -27,6 +59,12 @@ def main():
     ap.add_argument("--deepsdf", default=None,
                     help="decoder checkpoint (.npz native or torch exp dir)")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--vocab", default=None,
+                    help="ORB vocabulary npz (enables loop closing + BoW "
+                         "relocalization)")
+    ap.add_argument("--bootstrap-vocab", type=int, default=0, metavar="N",
+                    help="if --vocab does not exist, train it on ORB "
+                         "descriptors from N frames of this sequence")
     args = ap.parse_args()
 
     from dsp_slam_rgbd_tpu import config as cfg_mod
@@ -53,7 +91,27 @@ def main():
                  "(expected image_2/ + image_3/, rgb/ + depth/, or images)")
     if args.labels:
         seq.labels_dir = args.labels
-    system = SLAMSystem(cfg, decoder_params=params, decoder_spec=spec)
+
+    vocab = None
+    if args.vocab:
+        from dsp_slam_rgbd_tpu.loop import vocabulary
+
+        if os.path.isfile(args.vocab):
+            vocab = vocabulary.load_npz(args.vocab)
+            print(f"vocabulary loaded: {args.vocab} "
+                  f"({vocab.n_words} words)")
+        elif args.bootstrap_vocab > 0:
+            vocab = _bootstrap_vocab(seq, cfg, args.sensor,
+                                     args.bootstrap_vocab)
+            vocabulary.save_npz(args.vocab, vocab)
+            print(f"vocabulary trained + saved: {args.vocab} "
+                  f"({vocab.n_words} words)")
+        else:
+            sys.exit(f"error: vocabulary file {args.vocab!r} not found "
+                     "(pass --bootstrap-vocab N to train one)")
+
+    system = SLAMSystem(cfg, decoder_params=params, decoder_spec=spec,
+                        vocab=vocab)
 
     n = len(seq)
     if args.max_frames:
