@@ -243,3 +243,15 @@ def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Features:
 
     return Features(*[jnp.concatenate([getattr(o, f) for o in outs], axis=0)
                       for f in Features._fields])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_pair(img_a: jnp.ndarray, img_b: jnp.ndarray,
+                 cfg: OrbConfig = OrbConfig()):
+    """ORB extraction for a stereo pair as ONE batched dispatch (vmapped
+    over the two images) — halves the per-frame extractor dispatch count
+    and lets XLA overlap the two pyramids."""
+    both = jax.vmap(lambda im: extract(im, cfg))(jnp.stack([img_a, img_b]))
+    f_a = jax.tree_util.tree_map(lambda x: x[0], both)
+    f_b = jax.tree_util.tree_map(lambda x: x[1], both)
+    return f_a, f_b

@@ -11,6 +11,7 @@ stack — fixed shapes, fully vectorized.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -25,6 +26,8 @@ class StereoMatches(NamedTuple):
     valid: jnp.ndarray    # (N,) bool
 
 
+@partial(jax.jit,
+         static_argnames=("row_band", "max_disp", "sad_win", "sad_search"))
 def match_stereo(feats_l, feats_r, img_l, img_r, bf: float,
                  min_z: float, row_band: float = 2.0, max_disp: float = None,
                  sad_win: int = 5, sad_search: int = 5) -> StereoMatches:
@@ -103,6 +106,7 @@ def match_stereo(feats_l, feats_r, img_l, img_r, bf: float,
     return StereoMatches(u_r, depth, ok)
 
 
+@jax.jit
 def depth_to_stereo(feats, depth_map: jnp.ndarray, bf: float,
                     depth_scale: float = 1.0) -> StereoMatches:
     """RGB-D: read z at each keypoint; uR = u − bf/z (reference

@@ -18,6 +18,7 @@ path.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -33,9 +34,11 @@ from dsp_slam_rgbd_tpu.ops import lie
 from dsp_slam_rgbd_tpu.solvers import triangulate as tri
 
 
+@jax.jit
 def insert_keyframe(state: ms.MapState, frame, kf_slot: int,
                     frame_id: int) -> ms.MapState:
-    """Write a tracked frame into a KF slot (ProcessNewKeyFrame role)."""
+    """Write a tracked frame into a KF slot (ProcessNewKeyFrame role).
+    One fused dispatch (9 eager scatters cost 9 tunnel roundtrips)."""
     F = state.kf_xy.shape[1]
     n = min(frame.feats.xy.shape[0], F)
     pad = lambda a, fill: jnp.concatenate(
@@ -69,29 +72,22 @@ def _pad_idx(a: np.ndarray, cap: int, drop: int) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
-def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
-                       th_depth: float, max_new: int = 256) -> ms.MapState:
-    """Create map points from close stereo/RGB-D depth for features without
-    an associated point (reference `CreateNewKeyFrame` close-point spawning,
-    `Tracking.cc:1185-1237`)."""
-    depth = np.asarray(frame.depth)
-    has = (depth > 0) & (depth < th_depth) & np.asarray(frame.feats.valid) \
-        & (np.asarray(frame.pt_idx) < 0)
-    order = np.argsort(np.where(has, depth, np.inf))
-    chosen = order[: min(int(has.sum()), max_new)]
-    if len(chosen) == 0:
-        return state
-    slots = ms.alloc_slots(state.pt_valid, len(chosen))
-    ok = slots >= 0
-    chosen, slots = chosen[ok], slots[ok]
-    if len(chosen) == 0:
-        return state
-
+@partial(jax.jit, static_argnames=("cam", "max_new"))
+def _spawn_depth_device(state: ms.MapState, cam, kf_slot, frame, slots,
+                        th_depth, max_new: int):
     P = state.pt_pos.shape[0]
     F = state.kf_feat_pt.shape[1]
-    ch = _pad_idx(chosen, max_new, 0)        # gather (pad rows dropped below)
-    sl = _pad_idx(slots, max_new, P)         # scatter target, P = dropped
-    feat_tgt = _pad_idx(chosen, max_new, F)  # feature-column target
+    has = (frame.depth > 0) & (frame.depth < th_depth) \
+        & frame.feats.valid & (frame.pt_idx < 0)
+    # closest-first, capped at max_new (the reference sorts by depth and
+    # stops at 100 close points / `Tracking.cc:1210-1230`)
+    score = jnp.where(has, -frame.depth, -jnp.inf)
+    k = min(max_new, score.shape[0])
+    vals, ch = jax.lax.top_k(score, k)
+    live = jnp.isfinite(vals)
+    sl_raw = slots[:k]
+    sl = jnp.where(live & (sl_raw >= 0), jnp.maximum(sl_raw, 0), P)
+    feat_tgt = jnp.where(sl < P, ch, F)
 
     uv = frame.feats.xy[ch]
     z = frame.depth[ch]
@@ -100,7 +96,7 @@ def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
     p_w = lie.transform_points(t_wc, p_cam)
 
     sl_val = jnp.where(sl < P, sl, -1).astype(jnp.int32)
-    state = state._replace(
+    return state._replace(
         pt_pos=state.pt_pos.at[sl].set(p_w, mode="drop"),
         pt_valid=state.pt_valid.at[sl].set(True, mode="drop"),
         pt_desc=state.pt_desc.at[sl].set(frame.feats.desc[ch], mode="drop"),
@@ -110,7 +106,113 @@ def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
             sl_val, mode="drop"
         ),
     )
-    return state
+
+
+def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
+                       th_depth: float, max_new: int = 256) -> ms.MapState:
+    """Create map points from close stereo/RGB-D depth for features without
+    an associated point (reference `CreateNewKeyFrame` close-point spawning,
+    `Tracking.cc:1185-1237`).  Host pre-allocates slots; selection and
+    scatters run as one device program."""
+    slots = ms.alloc_slots(state.pt_valid, max_new)
+    return _spawn_depth_device(state, cam, kf_slot, frame,
+                               jnp.asarray(slots), th_depth, max_new)
+
+
+@partial(jax.jit, static_argnames=("cam", "max_new", "n_neighbors"))
+def _triangulate_device(state: ms.MapState, cam, kf_slot, slots,
+                        max_new: int, n_neighbors: int):
+    """Two-view triangulation against the best covisible neighbors as ONE
+    fused program: a `lax.scan` over the neighbor axis replaces the host
+    loop (which paid per-neighbor dispatch+fetch roundtrips — ~100 per
+    keyframe over the TPU tunnel).  Features claimed against one neighbor
+    leave the free pool before the next, like the reference's sequential
+    per-neighbor loop; a carried cursor walks the pre-allocated point
+    slots so earlier neighbors never lose their claims.
+
+    slots: (max_new,) pre-allocated free point slots (−1 past capacity).
+    Returns (new state, n_created)."""
+    K = state.kf_valid.shape[0]
+    P = state.pt_pos.shape[0]
+    F = state.kf_feat_pt.shape[1]
+
+    # neighbor order by covisibility weight (GetBestCovisibilityKeyFrames)
+    row = covis.covisibility_row(state, kf_slot)
+    w_sorted, order = jax.lax.top_k(row, min(n_neighbors, K))
+
+    t1 = state.kf_pose[kf_slot]
+    c1 = lie.inv_se3(t1)[:3, 3]
+    is_stereo = cam.bf > 0.0
+    uv1 = state.kf_xy[kf_slot]
+    desc1 = state.kf_desc[kf_slot]
+    slot_ok = slots >= 0
+    slots_safe = jnp.where(slot_ok, slots, P)
+
+    def per_neighbor(carry, nb_w):
+        pt_pos, pt_valid, pt_desc, pt_ref, pt_first, kf_feat_pt, free_a, \
+            cursor = carry
+        nb, w = nb_w
+        nb_ok = (nb != kf_slot) & (w >= covis.MIN_WEIGHT)
+
+        t2 = state.kf_pose[nb]
+        c2 = lie.inv_se3(t2)[:3, 3]
+        baseline = jnp.linalg.norm(c2 - c1)
+        if is_stereo:
+            # stereo baseline gate (reference :289-306)
+            nb_ok = nb_ok & (baseline >= cam.bf / cam.fx)
+        else:
+            # mono: baseline / median scene depth > 0.01
+            obs_pt = kf_feat_pt[nb]
+            seen = (obs_pt >= 0) & state.kf_feat_valid[nb]
+            pc2 = lie.transform_points(t2, pt_pos[jnp.maximum(obs_pt, 0)])
+            z = jnp.where(seen, pc2[:, 2], jnp.nan)
+            med = jnp.nanmedian(z)
+            nb_ok = nb_ok & jnp.where(
+                jnp.isfinite(med) & (med > 0), baseline / med > 0.01, True)
+
+        free_b = state.kf_feat_valid[nb] & (kf_feat_pt[nb] < 0)
+        m = matcher.match(desc1, free_a & nb_ok, state.kf_desc[nb],
+                          free_b, max_dist=matcher.TH_LOW, ratio=0.8,
+                          mutual=True)
+        uv2 = state.kf_xy[nb][jnp.maximum(m.idx, 0)]
+        pts = tri.triangulate_two_views(cam, cam, t1, t2, uv1, uv2)
+        masks = tri.acceptance_masks(cam, cam, t1, t2, pts, uv1, uv2)
+        good = m.valid & masks["parallax"] & masks["depth"] \
+            & masks["reproj"] & jnp.all(jnp.isfinite(pts), axis=-1) & nb_ok
+
+        # rank accepted features; claim slots cursor..cursor+n_good-1
+        rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+        take = good & (cursor + rank < max_new)
+        sl_i = jnp.clip(cursor + rank, 0, max_new - 1)
+        sl = jnp.where(take & slot_ok[sl_i], slots_safe[sl_i], P)  # P drops
+        sl_val = jnp.where(sl < P, sl, -1).astype(jnp.int32)
+
+        pt_pos = pt_pos.at[sl].set(pts, mode="drop")
+        pt_valid = pt_valid.at[sl].set(True, mode="drop")
+        pt_desc = pt_desc.at[sl].set(desc1, mode="drop")
+        pt_ref = pt_ref.at[sl].set(kf_slot, mode="drop")
+        pt_first = pt_first.at[sl].set(kf_slot, mode="drop")
+        feat_tgt = jnp.where(sl < P, jnp.arange(F), F)
+        nb_tgt = jnp.where(sl < P, jnp.maximum(m.idx, 0), F)
+        kf_feat_pt = kf_feat_pt.at[kf_slot, feat_tgt].set(sl_val,
+                                                          mode="drop") \
+                               .at[nb, nb_tgt].set(sl_val, mode="drop")
+        free_a = free_a & (sl >= P)
+        cursor = cursor + jnp.sum((sl < P).astype(jnp.int32))
+        return (pt_pos, pt_valid, pt_desc, pt_ref, pt_first, kf_feat_pt,
+                free_a, cursor), None
+
+    free_a0 = state.kf_feat_valid[kf_slot] & (state.kf_feat_pt[kf_slot] < 0)
+    carry0 = (state.pt_pos, state.pt_valid, state.pt_desc, state.pt_ref_kf,
+              state.pt_first_kf, state.kf_feat_pt, free_a0,
+              jnp.int32(0))
+    carry, _ = jax.lax.scan(per_neighbor, carry0,
+                            (order, w_sorted))
+    pt_pos, pt_valid, pt_desc, pt_ref, pt_first, kf_feat_pt, _, n = carry
+    return state._replace(
+        pt_pos=pt_pos, pt_valid=pt_valid, pt_desc=pt_desc,
+        pt_ref_kf=pt_ref, pt_first_kf=pt_first, kf_feat_pt=kf_feat_pt,
+    ), n
 
 
 def triangulate_new_points(state: ms.MapState, cam, kf_slot: int,
@@ -118,103 +220,34 @@ def triangulate_new_points(state: ms.MapState, cam, kf_slot: int,
                            ) -> ms.MapState:
     """Two-view triangulation against the best covisible neighbors
     (CreateNewMapPoints :259: nn = 10 stereo / 20 mono neighbors, baseline
-    gate, epipolar-constrained match).  Features claimed against one
-    neighbor leave the free pool before the next, like the reference's
-    sequential per-neighbor loop."""
-    order, weights = covis.best_covisible(state, kf_slot, n_neighbors)
-    order, weights = np.asarray(order), np.asarray(weights)
-    t1 = state.kf_pose[kf_slot]
-    c1 = lie.inv_se3(t1)[:3, 3]
-    is_stereo = cam.bf > 0.0
-    free_a = state.kf_feat_valid[kf_slot] & (state.kf_feat_pt[kf_slot] < 0)
-    budget = max_new
-    for nb, w in zip(order, weights):
-        nb = int(nb)
-        if nb == kf_slot or int(w) < covis.MIN_WEIGHT or budget <= 0:
-            continue
-        # baseline gate (reference :289-306): stereo skips neighbors closer
-        # than the stereo baseline; mono requires baseline/median-depth>0.01
-        c2 = lie.inv_se3(state.kf_pose[nb])[:3, 3]
-        baseline = float(jnp.linalg.norm(c2 - c1))
-        if is_stereo:
-            if baseline < cam.bf / cam.fx:
-                continue
-        else:
-            obs_pt = state.kf_feat_pt[nb]
-            seen = (obs_pt >= 0) & state.kf_feat_valid[nb]
-            if bool(jnp.any(seen)):
-                pc = lie.transform_points(
-                    state.kf_pose[nb],
-                    state.pt_pos[jnp.maximum(obs_pt, 0)])
-                z = np.asarray(jnp.where(seen, pc[:, 2], jnp.nan))
-                med = float(np.nanmedian(z))
-                if med > 0 and baseline / med < 0.01:
-                    continue
-
-        free_b = state.kf_feat_valid[nb] & (state.kf_feat_pt[nb] < 0)
-        m = matcher.match(state.kf_desc[kf_slot], free_a, state.kf_desc[nb],
-                          free_b, max_dist=matcher.TH_LOW, ratio=0.8,
-                          mutual=True)
-        uv1 = state.kf_xy[kf_slot]
-        uv2 = state.kf_xy[nb][jnp.maximum(m.idx, 0)]
-        pts = tri.triangulate_two_views(cam, cam, t1, state.kf_pose[nb],
-                                        uv1, uv2)
-        masks = tri.acceptance_masks(cam, cam, t1, state.kf_pose[nb],
-                                     pts, uv1, uv2)
-        good = np.asarray(
-            m.valid & masks["parallax"] & masks["depth"] & masks["reproj"]
-            & jnp.all(jnp.isfinite(pts), axis=-1)
-        )
-        chosen = np.nonzero(good)[0][:budget]
-        if len(chosen) == 0:
-            continue
-        slots = ms.alloc_slots(state.pt_valid, len(chosen))
-        ok = slots >= 0
-        chosen, slots = chosen[ok], slots[ok]
-        if len(chosen) == 0:
-            return state  # point capacity exhausted
-        budget -= len(chosen)
-        n_new = len(chosen)
-        P = state.pt_pos.shape[0]
-        F = state.kf_feat_pt.shape[1]
-        # fixed-capacity padded scatters: one compiled kernel per max_new,
-        # not one per distinct accepted-point count (see _pad_idx)
-        ch = _pad_idx(chosen, max_new, 0)
-        sl = _pad_idx(slots, max_new, P)
-        feat_tgt = _pad_idx(chosen, max_new, F)
-        live = jnp.arange(max_new) < n_new
-        nb_tgt = jnp.where(live, jnp.maximum(m.idx[ch], 0), F)
-        sl_val = jnp.where(sl < P, sl, -1).astype(jnp.int32)
-        state = state._replace(
-            pt_pos=state.pt_pos.at[sl].set(pts[ch], mode="drop"),
-            pt_valid=state.pt_valid.at[sl].set(True, mode="drop"),
-            pt_desc=state.pt_desc.at[sl].set(state.kf_desc[kf_slot][ch],
-                                             mode="drop"),
-            pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot, mode="drop"),
-            pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot, mode="drop"),
-            kf_feat_pt=state.kf_feat_pt
-            .at[kf_slot, feat_tgt].set(sl_val, mode="drop")
-            .at[nb, nb_tgt].set(sl_val, mode="drop"),
-        )
-        free_a = free_a.at[feat_tgt].set(False, mode="drop")
-    return state
+    gate, epipolar-constrained match).  Host wrapper: pre-allocates free
+    point slots, then runs the fused neighbor scan on device."""
+    slots = ms.alloc_slots(state.pt_valid, max_new)
+    new_state, _ = _triangulate_device(state, cam, kf_slot,
+                                       jnp.asarray(slots), max_new,
+                                       n_neighbors)
+    return new_state
 
 
+@partial(jax.jit, static_argnames=("cam",))
 def fuse_neighbors(state: ms.MapState, cam, kf_slot: int,
                    radius: float = 3.0) -> ms.MapState:
-    """SearchInNeighbors role (:506): project neighbor KFs' points into this
-    KF; unassociated features matching a projected point adopt it."""
-    order, weights = covis.best_covisible(state, kf_slot, 3)
-    nb_mask = jnp.zeros(state.kf_valid.shape[0], bool)
-    for i in range(3):
-        if int(weights[i]) >= covis.MIN_WEIGHT:
-            nb_mask = nb_mask.at[int(order[i])].set(True)
+    """SearchInNeighbors role (:506): project the 3 best covisible
+    neighbors' points into this KF; unassociated features matching a
+    projected point adopt it.  One fused dispatch — neighbor selection,
+    point-mask build, projective match and the association scatter all
+    stay on device."""
+    from dsp_slam_rgbd_tpu.tracking.tracker import _match_body
+
+    K = state.kf_valid.shape[0]
+    row = covis.covisibility_row(state, kf_slot)
+    w, order = jax.lax.top_k(row, min(3, K))
+    nb_mask = jnp.zeros(K + 1, bool).at[
+        jnp.where(w >= covis.MIN_WEIGHT, order, K)].set(True)[:K]
     nb_pts = ms.point_mask_of(state, nb_mask)
 
-    from dsp_slam_rgbd_tpu.tracking.tracker import match_local_points
-
     free = state.kf_feat_valid[kf_slot] & (state.kf_feat_pt[kf_slot] < 0)
-    pt_idx, matched = match_local_points(
+    pt_idx, matched = _match_body(
         cam, state.kf_pose[kf_slot], state.pt_pos, nb_pts & state.pt_valid,
         state.pt_desc, state.kf_xy[kf_slot], state.kf_desc[kf_slot],
         state.kf_level[kf_slot], free, radius=radius,
@@ -227,6 +260,7 @@ def fuse_neighbors(state: ms.MapState, cam, kf_slot: int,
     )
 
 
+@jax.jit
 def update_point_geometry(state: ms.MapState) -> ms.MapState:
     """Refresh per-point viewing normals and scale-invariance depth ranges
     (`MapPoint::UpdateNormalAndDepth`/`PredictScale`,
@@ -273,6 +307,7 @@ def update_point_geometry(state: ms.MapState) -> ms.MapState:
     )
 
 
+@partial(jax.jit, static_argnames=("min_found_ratio", "min_obs_after"))
 def cull_points(state: ms.MapState, current_kf: int,
                 min_found_ratio: float = 0.25,
                 min_obs_after: int = 2) -> ms.MapState:
@@ -303,32 +338,47 @@ def cull_keyframes(state: ms.MapState, kf_slot: int,
 
     Like the reference's sequential per-KF loop, removal is iterative — a
     cull changes the observation counts the next candidate is judged by —
-    but each round's redundancy fractions come from one vectorized masked
-    reduction over the (K, F) observation table (no O(K²) host loop).
+    but the rounds run as one device `lax.scan` (each round is a vectorized
+    masked reduction over the (K, F) table; the host fetches one small
+    culled-slot vector instead of paying an argmax roundtrip per round).
     `max_cull` bounds the rounds (the reference visits each local KF once;
     in practice few pass the 90% gate)."""
-    culled = []
-    for _ in range(max_cull):
-        n_obs = ms.point_obs_counts(state)                  # (P,)
-        local = (covis.covisibility_row(state, kf_slot) >= covis.MIN_WEIGHT) \
-            & state.kf_valid
+    new_state, culled_v = _cull_keyframes_device(state, kf_slot, redundancy,
+                                                 max_cull)
+    culled_v = np.asarray(culled_v)
+    return new_state, [int(k) for k in culled_v if k >= 0]
+
+
+@partial(jax.jit, static_argnames=("redundancy", "max_cull"))
+def _cull_keyframes_device(state: ms.MapState, kf_slot,
+                           redundancy: float, max_cull: int):
+    K = state.kf_valid.shape[0]
+
+    def one_round(carry, _):
+        kf_valid, kf_feat_pt = carry
+        st = state._replace(kf_valid=kf_valid, kf_feat_pt=kf_feat_pt)
+        n_obs = ms.point_obs_counts(st)                     # (P,)
+        local = (covis.covisibility_row(st, kf_slot) >= covis.MIN_WEIGHT) \
+            & kf_valid
         local = local.at[kf_slot].set(False)  # never cull the fresh KF
-        ok = ms._obs_ok(state)                              # (K, F)
-        pt = jnp.maximum(state.kf_feat_pt, 0)
+        ok = ms._obs_ok(st)                                 # (K, F)
+        pt = jnp.maximum(kf_feat_pt, 0)
         redundant = ok & (n_obs[pt] >= 4)                   # seen by ≥3 others
         mine = jnp.sum(ok, axis=1).astype(jnp.float32)      # (K,)
         red = jnp.sum(redundant, axis=1).astype(jnp.float32)
         cand = local & (mine > 0) & (red >= redundancy * mine)
         frac = jnp.where(cand, red / jnp.maximum(mine, 1.0), -1.0)
-        k = int(jnp.argmax(frac))
-        if not bool(cand[k]):
-            break
-        state = state._replace(
-            kf_valid=state.kf_valid.at[k].set(False),
-            kf_feat_pt=state.kf_feat_pt.at[k].set(-1),
-        )
-        culled.append(k)
-    return state, culled
+        k = jnp.argmax(frac)
+        hit = cand[k]
+        tgt = jnp.where(hit, k, K)  # K = dropped
+        kf_valid = kf_valid.at[tgt].set(False, mode="drop")
+        kf_feat_pt = kf_feat_pt.at[tgt].set(-1, mode="drop")
+        return (kf_valid, kf_feat_pt), jnp.where(hit, k, -1).astype(jnp.int32)
+
+    (kf_valid, kf_feat_pt), culled = jax.lax.scan(
+        one_round, (state.kf_valid, state.kf_feat_pt), None,
+        length=max_cull)
+    return state._replace(kf_valid=kf_valid, kf_feat_pt=kf_feat_pt), culled
 
 
 class LocalIndex(NamedTuple):
@@ -349,154 +399,209 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
+def _ba_masks(state: ms.MapState, center_kf, max_kfs: int,
+              global_window: bool):
+    """Shared (traced) mask construction for the BA problem: window /
+    frontier / selected observations / live object edges."""
+    if global_window:
+        in_w = state.kf_valid
+        frontier = jnp.zeros_like(in_w)
+        wpts = state.pt_valid
+    else:
+        in_w, frontier, wpts = covis.local_window(state, center_kf, max_kfs)
+    # gauge anchor: if the frontier is empty (early map: the window IS the
+    # whole map), fix the oldest keyframe — the reference always fixes KF 0
+    # (`Optimizer.cc:492` setFixed for mnId==0)
+    K = in_w.shape[0]
+    no_frontier = ~jnp.any(frontier)
+    oldest = jnp.argmin(jnp.where(in_w, state.kf_frame_id,
+                                  jnp.iinfo(jnp.int32).max))
+    anchor = jnp.zeros(K + 1, bool).at[
+        jnp.where(no_frontier & jnp.any(in_w), oldest, K)].set(True)[:K]
+    frontier = frontier | anchor
+    involved = in_w | frontier
+
+    kf_pt = state.kf_feat_pt
+    sel = (kf_pt >= 0) & state.kf_feat_valid & involved[:, None] \
+        & state.kf_valid[:, None]
+    sel &= wpts[jnp.maximum(kf_pt, 0)] \
+        & state.pt_valid[jnp.maximum(kf_pt, 0)]
+
+    # object edges on involved KFs (static objects only: the reference only
+    # adds static objects' relative-pose edges to the joint problem)
+    oobs_live = state.oobs_valid \
+        & involved[jnp.maximum(state.oobs_kf, 0)] \
+        & ~state.obj_dynamic[jnp.maximum(state.oobs_obj, 0)] \
+        & state.obj_valid[jnp.maximum(state.oobs_obj, 0)]
+    return in_w, frontier, involved, sel, oobs_live
+
+
+@partial(jax.jit, static_argnames=("max_kfs", "global_window"))
+def _ba_counts_device(state: ms.MapState, center_kf, max_kfs: int,
+                      global_window: bool):
+    """Tiny counts vector [n_kf, n_pt, n_obs, n_obj, n_oobs] — ONE small
+    fetch lets the host pick power-of-two buckets."""
+    P = state.pt_pos.shape[0]
+    _, _, involved, sel, oobs_live = _ba_masks(state, center_kf, max_kfs,
+                                               global_window)
+    tgt = jnp.where(sel, state.kf_feat_pt, P)
+    pmask = jnp.zeros(P + 1, bool).at[tgt.reshape(-1)].max(
+        sel.reshape(-1))[:P]
+    O = state.obj_valid.shape[0]
+    otgt = jnp.where(oobs_live, state.oobs_obj, O)
+    omask = jnp.zeros(O + 1, bool).at[otgt].max(oobs_live)[:O]
+    return jnp.stack([
+        jnp.sum(involved), jnp.sum(pmask), jnp.sum(sel),
+        jnp.sum(omask), jnp.sum(oobs_live),
+    ]).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_kfs", "global_window", "Kl", "Pl",
+                                   "Ol", "N", "M"))
+def _ba_assemble_device(state: ms.MapState, center_kf, max_kfs: int,
+                        global_window: bool, Kl: int, Pl: int, Ol: int,
+                        N: int, M: int):
+    """Device-side compaction + gather of the BA problem.
+
+    The previous host assembly fetched the full (K, F) observation tables
+    (tens of MB per keyframe at KITTI capacity) over the TPU tunnel; here
+    only the 5-int counts vector crosses to the host.  Compaction index
+    order comes from argsort over boolean masks (selected-first) — order
+    differs from np.nonzero but BA is order-invariant."""
+    K = state.kf_valid.shape[0]
+    P = state.pt_pos.shape[0]
+    F = state.kf_feat_pt.shape[1]
+    in_w, frontier, involved, sel, oobs_live = _ba_masks(
+        state, center_kf, max_kfs, global_window)
+
+    # --- observation compaction: selected-first order over (K·F) ---
+    flat = sel.reshape(-1)
+    obs_order = jnp.argsort(~flat)[:N]
+    obs_ok = flat[obs_order]
+    okf = (obs_order // F).astype(jnp.int32)
+    ofeat = (obs_order % F).astype(jnp.int32)
+    obs_pt_g = jnp.where(obs_ok, state.kf_feat_pt[okf, ofeat], 0) \
+        .astype(jnp.int32)
+    uv = state.kf_xy[okf, ofeat]
+    ur = state.kf_ur[okf, ofeat]
+    obs_uv = jnp.where(obs_ok[:, None],
+                       jnp.concatenate([uv, ur[:, None]], -1), 0.0)
+    obs_info = jnp.where(
+        obs_ok,
+        1.0 / (1.2 ** (2.0 * state.kf_level[okf, ofeat].astype(jnp.float32))),
+        0.0)
+
+    # observability guard: a point may only be optimized if its in-problem
+    # edges determine it — ≥2 observations, or ≥1 stereo (3-row) edge
+    # (single mono edges leave the depth direction free and explode)
+    ptgt = jnp.where(obs_ok, obs_pt_g, P)
+    n_obs_pt = jnp.zeros(P + 1, jnp.int32).at[ptgt].add(1)[:P]
+    has_stereo = jnp.zeros(P + 1, bool).at[
+        jnp.where(obs_ok & (obs_uv[:, 2] >= 0), obs_pt_g, P)].set(True)[:P]
+    determined = (n_obs_pt >= 2) | has_stereo
+
+    # --- keyframe / point / object compaction maps ---
+    kf_order = jnp.argsort(~involved)[:Kl]
+    kf_ok = involved[kf_order]
+    kf_idx = jnp.where(kf_ok, kf_order, -1).astype(jnp.int32)
+    kf_map = jnp.zeros(K, jnp.int32).at[
+        jnp.where(kf_ok, kf_order, K)].set(jnp.arange(Kl, dtype=jnp.int32),
+                                           mode="drop")
+
+    pmask = jnp.zeros(P + 1, bool).at[ptgt].max(obs_ok)[:P]
+    pt_order = jnp.argsort(~pmask)[:Pl]
+    pt_ok = pmask[pt_order]
+    pt_idx = jnp.where(pt_ok, pt_order, -1).astype(jnp.int32)
+    pt_map = jnp.zeros(P, jnp.int32).at[
+        jnp.where(pt_ok, pt_order, P)].set(jnp.arange(Pl, dtype=jnp.int32),
+                                           mode="drop")
+
+    O = state.obj_valid.shape[0]
+    otgt = jnp.where(oobs_live, state.oobs_obj, O)
+    omask = jnp.zeros(O + 1, bool).at[otgt].max(oobs_live)[:O]
+    obj_order = jnp.argsort(~omask)[:Ol]
+    obj_ok = omask[obj_order]
+    obj_idx = jnp.where(obj_ok, obj_order, -1).astype(jnp.int32)
+    obj_map = jnp.zeros(O, jnp.int32).at[
+        jnp.where(obj_ok, obj_order, O)].set(jnp.arange(Ol, dtype=jnp.int32),
+                                             mode="drop")
+
+    # --- object edge compaction ---
+    oo_order = jnp.argsort(~oobs_live)[:M]
+    oo_ok = oobs_live[oo_order]
+    oobs_kf_g = jnp.where(oo_ok, state.oobs_kf[oo_order], 0)
+    oobs_obj_g = jnp.where(oo_ok, state.oobs_obj[oo_order], 0)
+    eye = jnp.broadcast_to(jnp.eye(4), (M, 4, 4))
+    oobs_t = jnp.where(oo_ok[:, None, None],
+                       state.oobs_t_co[oo_order], eye)
+
+    kf_sel = jnp.maximum(kf_idx, 0)
+    pt_sel = jnp.maximum(pt_idx, 0)
+    obj_sel = jnp.maximum(obj_idx, 0)
+
+    prob = ba.BAProblem(
+        kf_pose=state.kf_pose[kf_sel],
+        kf_fixed=frontier[kf_sel] | ~in_w[kf_sel] | (kf_idx < 0),
+        kf_valid=state.kf_valid[kf_sel] & (kf_idx >= 0),
+        pts=state.pt_pos[pt_sel],
+        pt_valid=(pt_idx >= 0) & determined[pt_sel]
+        & state.pt_valid[pt_sel],
+        obs_kf=jnp.where(obs_ok, kf_map[okf], 0),
+        obs_pt=jnp.where(obs_ok, pt_map[obs_pt_g], 0),
+        obs_uv=obs_uv,
+        obs_info=obs_info,
+        obs_mask=obs_ok,
+        obj_pose=state.obj_pose[obj_sel],
+        obj_valid=state.obj_valid[obj_sel] & (obj_idx >= 0),
+        oobs_kf=kf_map[jnp.maximum(oobs_kf_g, 0)] * oo_ok,
+        oobs_obj=obj_map[jnp.maximum(oobs_obj_g, 0)] * oo_ok,
+        oobs_t_co=oobs_t,
+        oobs_mask=oo_ok,
+    )
+    return prob, LocalIndex(kf_idx, pt_idx, obj_idx)
+
+
 def build_local_ba_problem(state: ms.MapState, center_kf: int,
                            max_kfs: int, global_window: bool = False
                            ) -> tuple[ba.BAProblem, LocalIndex]:
     """Assemble a COMPACT fixed-capacity BA problem for the covisible window
-    (host control plane; the solve is `ba.local_ba` / `ba.global_ba_pcg`).
-    With `global_window=True` every valid keyframe and point enters (the
+    (the solve is `ba.local_ba` / `ba.global_ba_pcg`).  With
+    `global_window=True` every valid keyframe and point enters (the
     GlobalJointBundleAdjustemnt problem).
 
     Capacities are bucketed powers of two derived from the ACTUAL window
-    contents — nothing is silently truncated (the r1 MAX_LOCAL_OBS cap and
-    its silent observation drops are gone)."""
-    if global_window:
-        in_w_np = np.asarray(state.kf_valid)
-        frontier_np = np.zeros_like(in_w_np)
-        wpts_np = np.asarray(state.pt_valid)
-    else:
-        in_w, frontier, wpts = covis.local_window(state, center_kf, max_kfs)
-        in_w_np = np.asarray(in_w)
-        frontier_np = np.asarray(frontier)
-        wpts_np = np.asarray(wpts)
-    involved = in_w_np | frontier_np
-    # gauge anchor: if the frontier is empty (early map: the window IS the
-    # whole map), fix the oldest keyframe — the reference always fixes KF 0
-    # (`Optimizer.cc:492` setFixed for mnId==0)
-    if not frontier_np.any():
-        first = np.nonzero(in_w_np)[0]
-        if len(first):
-            oldest = first[np.argmin(np.asarray(state.kf_frame_id)[first])]
-            frontier_np = frontier_np.copy()
-            frontier_np[oldest] = True
-
-    # --- observations, fully vectorized over the (K, F) table ---
-    kf_pt = np.asarray(state.kf_feat_pt)
-    sel = (kf_pt >= 0) & np.asarray(state.kf_feat_valid) \
-        & involved[:, None] & np.asarray(state.kf_valid)[:, None]
-    sel &= wpts_np[np.maximum(kf_pt, 0)] \
-        & np.asarray(state.pt_valid)[np.maximum(kf_pt, 0)]
-    okf, ofeat = np.nonzero(sel)
-    obs_kf_g = okf.astype(np.int32)
-    obs_pt_g = kf_pt[okf, ofeat].astype(np.int32)
-    obs_uv = np.concatenate(
-        [np.asarray(state.kf_xy)[okf, ofeat],
-         np.asarray(state.kf_ur)[okf, ofeat][:, None]], axis=-1
-    ).astype(np.float32)
-    obs_info = (
-        1.0 / (1.2 ** (2.0 * np.asarray(state.kf_level)[okf, ofeat]))
-    ).astype(np.float32)
-    n = len(obs_kf_g)
-
-    # observability guard: a point may only be optimized if its in-problem
-    # edges determine it — ≥2 observations, or ≥1 stereo (3-row) observation
-    # (single mono edges leave the depth direction free and explode)
+    contents — nothing is silently truncated.  The assembly itself runs on
+    device (`_ba_assemble_device`); the host only fetches a 5-int counts
+    vector to pick the buckets."""
+    K = state.kf_valid.shape[0]
     P = state.pt_pos.shape[0]
-    n_obs_pt = np.zeros(P, np.int32)
-    np.add.at(n_obs_pt, obs_pt_g, 1)
-    has_stereo = np.zeros(P, bool)
-    has_stereo[obs_pt_g[obs_uv[:, 2] >= 0]] = True
-    determined = (n_obs_pt >= 2) | has_stereo
-
-    # --- object edges on involved KFs (static objects only: the reference
-    # only adds static objects' relative-pose edges to the joint problem) ---
-    oobs_valid = np.asarray(state.oobs_valid) & involved[
-        np.maximum(np.asarray(state.oobs_kf), 0)
-    ] & ~np.asarray(state.obj_dynamic)[
-        np.maximum(np.asarray(state.oobs_obj), 0)
-    ] & np.asarray(state.obj_valid)[
-        np.maximum(np.asarray(state.oobs_obj), 0)
-    ]
-    osel = np.nonzero(oobs_valid)[0]
-    oobs_kf_g = np.asarray(state.oobs_kf)[osel].astype(np.int32)
-    oobs_obj_g = np.asarray(state.oobs_obj)[osel].astype(np.int32)
-
-    # --- compaction: global slots → dense local indices ---
-    kf_ids = np.nonzero(involved)[0]
-    pt_ids = np.unique(obs_pt_g) if n else np.zeros(0, np.int64)
-    obj_ids = np.unique(oobs_obj_g) if len(osel) else np.zeros(0, np.int64)
-    Kl = _bucket(max(len(kf_ids), 1))
-    Pl = _bucket(max(len(pt_ids), 1), minimum=64)
-    Ol = _bucket(max(len(obj_ids), 1), minimum=4)
-    N = _bucket(max(n, 1), minimum=256)
-    M = _bucket(max(len(osel), 1), minimum=16)
-
-    kf_map = np.full(state.kf_valid.shape[0], 0, np.int32)
-    kf_map[kf_ids] = np.arange(len(kf_ids))
-    pt_map = np.full(P, 0, np.int32)
-    pt_map[pt_ids] = np.arange(len(pt_ids))
-    obj_map = np.full(state.obj_valid.shape[0], 0, np.int32)
-    obj_map[obj_ids] = np.arange(len(obj_ids))
-
-    def padded(a, cap, fill):
-        return np.concatenate(
-            [a, np.full((cap - len(a),) + a.shape[1:], fill, a.dtype)]
-        )
-
-    idx = LocalIndex(
-        kf_idx=padded(kf_ids.astype(np.int32), Kl, -1),
-        pt_idx=padded(pt_ids.astype(np.int32), Pl, -1),
-        obj_idx=padded(obj_ids.astype(np.int32), Ol, -1),
-    )
-    kf_sel = np.maximum(idx.kf_idx, 0)
-    pt_sel = np.maximum(idx.pt_idx, 0)
-    obj_sel = np.maximum(idx.obj_idx, 0)
-
-    prob = ba.BAProblem(
-        kf_pose=state.kf_pose[jnp.asarray(kf_sel)],
-        kf_fixed=jnp.asarray(
-            frontier_np[kf_sel] | ~in_w_np[kf_sel] | (idx.kf_idx < 0)
-        ),
-        kf_valid=jnp.asarray(
-            np.asarray(state.kf_valid)[kf_sel] & (idx.kf_idx >= 0)
-        ),
-        pts=state.pt_pos[jnp.asarray(pt_sel)],
-        pt_valid=jnp.asarray(
-            (idx.pt_idx >= 0) & determined[pt_sel]
-            & np.asarray(state.pt_valid)[pt_sel]
-        ),
-        obs_kf=jnp.asarray(padded(kf_map[obs_kf_g], N, 0)),
-        obs_pt=jnp.asarray(padded(pt_map[obs_pt_g], N, 0)),
-        obs_uv=jnp.asarray(padded(obs_uv, N, 0.0)),
-        obs_info=jnp.asarray(padded(obs_info, N, 0.0)),
-        obs_mask=jnp.asarray(padded(np.ones(n, bool), N, False)),
-        obj_pose=state.obj_pose[jnp.asarray(obj_sel)],
-        obj_valid=jnp.asarray(
-            np.asarray(state.obj_valid)[obj_sel] & (idx.obj_idx >= 0)
-        ),
-        oobs_kf=jnp.asarray(padded(kf_map[oobs_kf_g], M, 0)),
-        oobs_obj=jnp.asarray(padded(obj_map[oobs_obj_g], M, 0)),
-        oobs_t_co=jnp.asarray(padded(
-            np.asarray(state.oobs_t_co)[osel],
-            M, 0.0,
-        )) + jnp.eye(4) * (jnp.arange(M) >= len(osel))[:, None, None],
-        oobs_mask=jnp.asarray(padded(np.ones(len(osel), bool), M, False)),
-    )
-    return prob, idx
+    F = state.kf_feat_pt.shape[1]
+    O = state.obj_valid.shape[0]
+    Q = state.oobs_valid.shape[0]
+    counts = np.asarray(_ba_counts_device(state, center_kf, max_kfs,
+                                          global_window))
+    n_kf, n_pt, n_obs, n_obj, n_oobs = (int(c) for c in counts)
+    # buckets never exceed the map capacities (tiny test maps)
+    Kl = min(_bucket(max(n_kf, 1)), K)
+    Pl = min(_bucket(max(n_pt, 1), minimum=64), P)
+    Ol = min(_bucket(max(n_obj, 1), minimum=4), O)
+    N = min(_bucket(max(n_obs, 1), minimum=256), K * F)
+    M = min(_bucket(max(n_oobs, 1), minimum=16), Q)
+    return _ba_assemble_device(state, center_kf, max_kfs, global_window,
+                               Kl, Pl, Ol, N, M)
 
 
+@jax.jit
 def apply_ba_result(state: ms.MapState, idx: LocalIndex,
                     res: ba.BAResult) -> ms.MapState:
-    """Scatter compact BA results back into the map (recover step)."""
-    kf_ok = idx.kf_idx >= 0
-    pt_ok = idx.pt_idx >= 0
-    obj_ok = idx.obj_idx >= 0
+    """Scatter compact BA results back into the map (recover step) —
+    device-resident, one dispatch."""
     K = state.kf_pose.shape[0]
     P = state.pt_pos.shape[0]
     O = state.obj_pose.shape[0]
-    kf_tgt = jnp.asarray(np.where(kf_ok, idx.kf_idx, K))
-    pt_tgt = jnp.asarray(np.where(pt_ok, idx.pt_idx, P))
-    obj_tgt = jnp.asarray(np.where(obj_ok, idx.obj_idx, O))
+    kf_tgt = jnp.where(idx.kf_idx >= 0, idx.kf_idx, K)
+    pt_tgt = jnp.where(idx.pt_idx >= 0, idx.pt_idx, P)
+    obj_tgt = jnp.where(idx.obj_idx >= 0, idx.obj_idx, O)
     return state._replace(
         kf_pose=state.kf_pose.at[kf_tgt].set(res.kf_pose, mode="drop"),
         pt_pos=state.pt_pos.at[pt_tgt].set(res.pts, mode="drop"),

@@ -441,11 +441,26 @@ class SLAMSystem:
         cand, scores = keyframe_db.detect_loop_candidates(
             self.db, self.db.bow[kf_slot], connected | recent, W
         )
-        groups = loop_closing.candidate_groups(self.state, np.asarray(cand))
+        # expand candidates into covisible groups from the device-resident
+        # W: gather only the (≤8) candidate rows instead of fetching the
+        # full (K, K) matrix (16 MB per keyframe at KITTI capacity)
+        MAX_CANDS = 8
+        cidx = np.nonzero(np.asarray(cand))[0][:MAX_CANDS]
+        if len(cidx) == 0:
+            self.consistency.update([])
+            return
+        pad = np.zeros(MAX_CANDS, np.int64)
+        pad[: len(cidx)] = cidx
+        rows = np.asarray(W[jnp.asarray(pad)] >= covis.MIN_WEIGHT)
+        groups = [
+            set(np.nonzero(rows[i])[0].tolist()) | {int(cidx[i])}
+            for i in range(len(cidx))
+        ]
         consistent = self.consistency.update(groups)
         if not consistent:
             return
-        best = max(consistent, key=lambda k: float(scores[k]))
+        scores_np = np.asarray(scores)
+        best = max(consistent, key=lambda k: float(scores_np[k]))
         self._key, sub = jax.random.split(self._key)
         fix_scale = self.cfg.sensor != "mono"
         res = loop_closing.compute_loop_sim3(
@@ -497,16 +512,19 @@ class SLAMSystem:
         if rel:
             kf_poses = np.asarray(self.state.kf_pose)
             ts = np.asarray([t for t, _, _, _ in rel])
-            poses = np.stack([
-                t_rel @ kf_poses[ref] for _, ref, t_rel, _ in rel
-            ])
+            # one bulk fetch: entries are device arrays (the tracker defers
+            # per-frame host syncs)
+            rels = np.asarray(jnp.stack(
+                [jnp.asarray(t_rel) for _, _, t_rel, _ in rel]))
+            refs = np.asarray([ref for _, ref, _, _ in rel])
+            poses = np.einsum("nij,njk->nik", rels, kf_poses[refs])
             ok = np.asarray([o for _, _, _, o in rel], bool)
             return ts, poses, ok
         traj = self.tracker.trajectory
         if not traj:
             return np.zeros(0), np.zeros((0, 4, 4)), np.zeros(0, bool)
         ts = np.asarray([t for t, _, _ in traj])
-        poses = np.stack([p for _, p, _ in traj])
+        poses = np.asarray(jnp.stack([jnp.asarray(p) for _, p, _ in traj]))
         ok = np.asarray([o for _, _, o in traj], bool)
         return ts, poses, ok
 

@@ -43,12 +43,11 @@ class Frame(NamedTuple):
     timestamp: float
 
 
-@partial(jax.jit, static_argnames=("cam", "check_rotation"))
-def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
-                       feat_desc, feat_level, feat_valid, radius,
-                       pt_normal=None, pt_min_d=None, pt_max_d=None,
-                       feat_angle=None, pt_angle=None,
-                       check_rotation: bool = False):
+def _match_body(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
+                feat_desc, feat_level, feat_valid, radius,
+                pt_normal=None, pt_min_d=None, pt_max_d=None,
+                feat_angle=None, pt_angle=None,
+                check_rotation: bool = False):
     """Project candidate points into the frame and match by descriptor.
 
     The TPU equivalent of `SearchByProjection(F, vpMapPoints)`
@@ -95,17 +94,26 @@ def match_local_points(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
     return jnp.where(m.valid, m.idx, -1), m.valid
 
 
+match_local_points = partial(jax.jit, static_argnames=("cam",
+                                                       "check_rotation"))(
+    _match_body)
+
+
 @partial(jax.jit, static_argnames=("n_keep",))
-def _local_window_device(state: ms.MapState, pt_in_set: jnp.ndarray,
+def _local_window_device(state: ms.MapState, pt_idx: jnp.ndarray,
                          n_keep: int) -> jnp.ndarray:
     """One fused device program for the `UpdateLocalKeyFrames` role
     (`src/Tracking.cc:1309-1398`): vote KFs by shared observations with the
-    frame's tracked points, take the top-`n_keep` voters, the best covisible
-    neighbor of the 3 strongest, and the newest KF.  Returns ONE small int32
-    vector `[top_0..top_{n_keep-1}, nb_0..nb_2, newest]` (−1 = empty) so the
+    frame's tracked points (pt_idx: the frame's (F,) feature→point slots),
+    take the top-`n_keep` voters, the best covisible neighbor of the 3
+    strongest, and the newest KF.  Returns ONE small int32 vector
+    `[top_0..top_{n_keep-1}, nb_0..nb_2, newest]` (−1 = empty) so the
     host pays a single fetch — the previous eager per-query version cost ~6
     dispatch+fetch roundtrips per call, which dominated frame time.
     """
+    P = state.pt_pos.shape[0]
+    tgt = jnp.where(pt_idx >= 0, pt_idx, P)
+    pt_in_set = jnp.zeros(P + 1, bool).at[tgt].set(True)[:P]
     ok = ms._obs_ok(state)
     hit = ok & pt_in_set[jnp.maximum(state.kf_feat_pt, 0)]
     votes = jnp.sum(hit, axis=1).astype(jnp.int32) \
@@ -124,23 +132,131 @@ def _local_window_device(state: ms.MapState, pt_in_set: jnp.ndarray,
     return jnp.concatenate([top, jnp.stack(nbs), newest[None]])
 
 
-def _gather_local_points(state: ms.MapState, kf_window: np.ndarray):
-    """Host: indices of points observed by the KF window, capped.
+@jax.jit
+def _gather_local_points_device(state: ms.MapState,
+                                kf_window_mask: jnp.ndarray):
+    """(LOCAL_PTS,) indices + mask of points observed by the KF window.
 
-    The window membership mask is built in numpy: a jnp scatter here would
-    recompile for every distinct window length (XLA specializes on the
-    index-array shape), which showed up as per-frame compiles in profiling.
-    """
+    Device-resident: `top_k` over the point membership mask yields the
+    first LOCAL_PTS member indices without fetching a (P,)-bool to the
+    host (a per-frame roundtrip over the TPU tunnel)."""
+    pmask = ms.point_mask_of(state, kf_window_mask)
+    k = min(LOCAL_PTS, pmask.shape[0])  # tiny test maps hold < LOCAL_PTS
+    vals, idx = jax.lax.top_k(pmask.astype(jnp.int32), k)
+    pad = LOCAL_PTS - k
+    return (jnp.pad(idx.astype(jnp.int32), (0, pad)),
+            jnp.pad(vals > 0, (0, pad)))
+
+
+def _gather_local_points(state: ms.MapState, kf_window: np.ndarray):
+    """Host wrapper: window membership mask is built in numpy (a jnp
+    scatter would recompile per distinct window length — XLA specializes
+    on the index-array shape, profiled as per-frame compiles)."""
     kf_mask_np = np.zeros(state.kf_valid.shape[0], bool)
     kf_mask_np[np.asarray(kf_window)] = True
-    pts = np.nonzero(np.asarray(ms.point_mask_of(state,
-                                                 jnp.asarray(kf_mask_np))))[0]
-    idx = np.full(LOCAL_PTS, 0, np.int32)
-    n = min(len(pts), LOCAL_PTS)
-    idx[:n] = pts[:n]
-    mask = np.zeros(LOCAL_PTS, bool)
-    mask[:n] = True
-    return jnp.asarray(idx), jnp.asarray(mask)
+    return _gather_local_points_device(state, jnp.asarray(kf_mask_np))
+
+
+@partial(jax.jit, static_argnames=("cam", "n_keep", "check_rotation",
+                                   "stereo", "update_stats"))
+def _track_stage(cam, state: ms.MapState, vote_pt_idx, base_pt_idx, t_init,
+                 feat_xy, feat_desc, feat_level, feat_valid, feat_angle,
+                 ur, depth, last_pt_idx, last_angles, radius, th_depth_m,
+                 n_keep: int, check_rotation: bool, stereo: bool,
+                 update_stats: bool):
+    """ONE fused device program for a whole tracking stage: local-KF window
+    retrieval (`UpdateLocalKeyFrames`), local-point gather, projective
+    matching (`SearchByProjection`) and robust pose GN run as a single
+    dispatch; the host fetches one small stats vector to drive its (rare)
+    fallback branches.  Composing these steps eagerly costs tens of
+    dispatch+fetch roundtrips per frame — over the remote-TPU tunnel that
+    latency dominated end-to-end FPS (profiled via tools/bench_pipeline.py).
+
+    vote_pt_idx: (F,) feature→point slots used to VOTE the window (last
+    frame's for motion-model, the current frame's for track-local-map).
+    base_pt_idx: (F,) associations kept where this stage finds no match.
+    last_pt_idx/last_angles feed the rotation-consistency gate.
+
+    Returns (t_cw, pt_final, stats, pt_visible', pt_found') with
+    stats = [n_matched, n_inliers, ref_kf, n_close_tracked, n_close_free,
+    ref_n] (int32) and the found/visible arrays None unless update_stats.
+    """
+    K = state.kf_valid.shape[0]
+    P = state.pt_pos.shape[0]
+
+    # ---- local-KF window by shared observations (Tracking.cc:1309-1398) --
+    tgt = jnp.where(vote_pt_idx >= 0, vote_pt_idx, P)
+    in_set = jnp.zeros(P + 1, bool).at[tgt].set(True)[:P]
+    ok_tab = ms._obs_ok(state)
+    hit = ok_tab & in_set[jnp.maximum(state.kf_feat_pt, 0)]
+    votes = jnp.sum(hit, axis=1).astype(jnp.int32) \
+        * state.kf_valid.astype(jnp.int32)
+    order = jnp.argsort(-votes)
+    nk = min(n_keep, K)
+    top = order[:nk]
+    top_ok = votes[top] > 0
+    wmask = jnp.zeros(K + 1, bool).at[jnp.where(top_ok, top, K)].set(True)
+    # best covisible neighbor of the 3 strongest voters (:1368-1392)
+    for i in range(min(3, nk)):
+        row = covis.covisibility_row(state, jnp.maximum(top[i], 0))
+        b = jnp.argmax(row)
+        good = (row[b] >= covis.MIN_WEIGHT) & top_ok[i]
+        wmask = wmask.at[jnp.where(good, b, K)].set(True)
+    newest = jnp.argmax(jnp.where(state.kf_valid, state.kf_frame_id, -1))
+    has_kf = jnp.any(state.kf_valid)
+    wmask = wmask.at[jnp.where(has_kf, newest, K)].set(True)
+    # fallback window: the nk newest valid KFs (bootstrap, post-reloc)
+    _, recent = jax.lax.top_k(
+        jnp.where(state.kf_valid, state.kf_frame_id, -1), nk)
+    rmask = jnp.zeros(K + 1, bool).at[
+        jnp.where(state.kf_valid[recent], recent, K)].set(True)
+    any_votes = votes[order[0]] > 0
+    wmask = jnp.where(any_votes, wmask, rmask)[:K]
+    ref_kf = jnp.where(any_votes, order[0],
+                       jnp.where(has_kf, newest, -1)).astype(jnp.int32)
+
+    # ---- local points + projective match ----
+    idx, mask = _gather_local_points_device(state, wmask)
+    pt_angle = jnp.full(P + 1, jnp.nan, jnp.float32).at[
+        jnp.where(last_pt_idx >= 0, last_pt_idx, P)].set(last_angles)[:P]
+    pt_li, matched = _match_body(
+        cam, t_init, state.pt_pos[idx], state.pt_valid[idx] & mask,
+        state.pt_desc[idx], feat_xy, feat_desc, feat_level, feat_valid,
+        radius, state.pt_normal[idx], state.pt_min_d[idx],
+        state.pt_max_d[idx], feat_angle=feat_angle, pt_angle=pt_angle[idx],
+        check_rotation=check_rotation)
+    pt_global = jnp.where(pt_li >= 0, idx[jnp.maximum(pt_li, 0)], -1)
+    pt_merged = jnp.where(pt_global >= 0, pt_global, base_pt_idx)
+
+    # ---- robust pose GN ----
+    pts_w = state.pt_pos[jnp.maximum(pt_merged, 0)]
+    obs = jnp.concatenate([feat_xy, ur[:, None]], -1) if stereo else feat_xy
+    inv_s2 = 1.0 / (1.2 ** (2.0 * feat_level.astype(jnp.float32)))
+    res = pose_gn.optimize_pose(cam, t_init, pts_w, obs, inv_s2,
+                                (pt_merged >= 0) & feat_valid, stereo=stereo)
+    pt_final = jnp.where(res.inliers, pt_merged, -1)
+
+    # ---- stats for the host's decisions (incl. NeedNewKeyFrame census) --
+    n_matched = jnp.sum(pt_merged >= 0).astype(jnp.int32)
+    close = (depth > 0) & (depth < th_depth_m) & feat_valid
+    n_cl_tracked = jnp.sum(close & (pt_final >= 0)).astype(jnp.int32)
+    n_cl_free = jnp.sum(close & (pt_final < 0)).astype(jnp.int32)
+    rk = jnp.maximum(ref_kf, 0)
+    ref_n = jnp.sum((state.kf_feat_pt[rk] >= 0)
+                    & state.kf_feat_valid[rk]).astype(jnp.int32)
+    stats = jnp.stack([n_matched, res.n_inliers.astype(jnp.int32), ref_kf,
+                       n_cl_tracked, n_cl_free, ref_n])
+
+    vis = fnd = None
+    if update_stats:
+        # found/visible counters (MapPoint::IncreaseVisible/Found)
+        vis_idx = jnp.where(mask, idx, P)
+        visible = jnp.zeros(P + 1, jnp.int32).at[vis_idx].add(1)[:P]
+        found_idx = jnp.where(pt_final >= 0, pt_final, P)
+        found = jnp.zeros(P + 1, jnp.int32).at[found_idx].add(1)[:P]
+        vis = state.pt_visible + visible
+        fnd = state.pt_found + found
+    return res.t_cw, pt_final, stats, vis, fnd
 
 
 class Tracker:
@@ -166,6 +282,7 @@ class Tracker:
         self.n_inliers_last = 0
         self._key = jax.random.PRNGKey(0)
         self._kv_memo = None  # (kf_valid device array, host copy)
+        self._stage_stats = None  # last fused tracking-stage stats (np)
         # optional place-recognition hook: frame -> candidate KF slots
         # (installed by the System when a BoW database exists — the
         # `DetectRelocalizationCandidates` path, KeyFrameDatabase.cc:199)
@@ -174,26 +291,30 @@ class Tracker:
     # ------------------------------------------------------------------
     def make_frame(self, img, img_right=None, depth_map=None,
                    timestamp: float = 0.0) -> Frame:
-        feats = orb.extract(jnp.asarray(img, jnp.float32), self.cfg.orb)
-        F = feats.xy.shape[0]
-        ur = jnp.full(F, -1.0)
-        dep = jnp.full(F, -1.0)
         if img_right is not None:
-            fr = orb.extract(jnp.asarray(img_right, jnp.float32), self.cfg.orb)
+            # one batched dispatch for the stereo pair (vmapped extractor)
+            il = jnp.asarray(img, jnp.float32)
+            ir = jnp.asarray(img_right, jnp.float32)
+            feats, fr = orb.extract_pair(il, ir, self.cfg.orb)
+            F = feats.xy.shape[0]
             sm = stereo_mod.match_stereo(
-                feats, fr, jnp.asarray(img, jnp.float32),
-                jnp.asarray(img_right, jnp.float32), self.cfg.cam.bf,
+                feats, fr, il, ir, self.cfg.cam.bf,
                 min_z=self.cfg.cam.bf / self.cfg.cam.fx,
             )
             ur = sm.u_right
             dep = sm.depth
-        elif depth_map is not None:
-            sm = stereo_mod.depth_to_stereo(
-                feats, jnp.asarray(depth_map, jnp.float32), self.cfg.cam.bf,
-                self.cfg.depth_scale,
-            )
-            ur = sm.u_right
-            dep = sm.depth
+        else:
+            feats = orb.extract(jnp.asarray(img, jnp.float32), self.cfg.orb)
+            F = feats.xy.shape[0]
+            ur = jnp.full(F, -1.0)
+            dep = jnp.full(F, -1.0)
+            if depth_map is not None:
+                sm = stereo_mod.depth_to_stereo(
+                    feats, jnp.asarray(depth_map, jnp.float32),
+                    self.cfg.cam.bf, self.cfg.depth_scale,
+                )
+                ur = sm.u_right
+                dep = sm.depth
         if any(abs(d) > 0.0 for d in self.cfg.cam.dist):
             # keypoint undistortion (reference `Frame::UndistortKeyPoints`,
             # Frame.cc:421-435): all downstream geometry — matching windows,
@@ -255,18 +376,18 @@ class Tracker:
             # velocity computed against it poisons the motion model for
             # every frame following a relocalization
             self.velocity = jnp.eye(4)
-        self.trajectory.append((timestamp, np.asarray(frame.t_cw), ok))
+        # store DEVICE arrays: a per-frame np.asarray here is a blocking
+        # ~30-50 ms tunnel roundtrip; savers convert in bulk at exit
+        self.trajectory.append((timestamp, frame.t_cw, ok))
         if self.ref_kf >= 0:
-            t_rel = np.asarray(
-                frame.t_cw @ lie.inv_se3(self.state.kf_pose[self.ref_kf])
-            )
+            t_rel = frame.t_cw @ lie.inv_se3(self.state.kf_pose[self.ref_kf])
             self.relative_trajectory.append(
                 (timestamp, self.ref_kf, t_rel, ok)
             )
         self.last_frame = frame
         out["frame"] = frame
         out["ok"] = ok
-        out["new_kf"] = ok and self._need_new_keyframe(frame)
+        out["new_kf"] = ok and self._need_new_keyframe()
         return out
 
     # ------------------------------------------------------------------
@@ -345,42 +466,42 @@ class Tracker:
         return frame._replace(t_cw=res.t_cw, pt_idx=pt_final), \
             int(res.n_inliers)
 
+    def _run_stage(self, frame: Frame, vote_pt_idx, base_pt_idx, t_init,
+                   radius: float, check_rotation: bool, update_stats: bool):
+        """Dispatch one fused tracking stage and fetch its stats vector."""
+        lf = self.last_frame if self.last_frame is not None else frame
+        th_depth_m = self.cfg.cam.bf / max(self.cfg.cam.fx, 1e-9) \
+            * self.cfg.tracking.th_depth
+        t_cw, pt_final, stats, vis, fnd = _track_stage(
+            self.cfg.cam, self.state, vote_pt_idx, base_pt_idx, t_init,
+            frame.feats.xy, frame.feats.desc, frame.feats.level,
+            frame.feats.valid, frame.feats.angle, frame.ur, frame.depth,
+            lf.pt_idx, lf.feats.angle, radius, th_depth_m,
+            n_keep=self.cfg.map.local_window, check_rotation=check_rotation,
+            stereo=self.cfg.sensor in ("stereo", "rgbd"),
+            update_stats=update_stats)
+        stats = np.asarray(stats)  # the single per-stage host sync
+        if update_stats:
+            self.state = self.state._replace(pt_visible=vis, pt_found=fnd)
+        if stats[2] >= 0:
+            self.ref_kf = int(stats[2])
+        self._stage_stats = stats
+        return frame._replace(t_cw=t_cw, pt_idx=pt_final), stats
+
     def _track_motion_model(self, frame: Frame):
-        """Constant-velocity prediction + projective match (:949)."""
+        """Constant-velocity prediction + projective match against the
+        covisible window of the LAST frame's tracked points (:949,
+        `ORBmatcher::SearchByProjection(F, LastFrame)` :1328 — including
+        its rotation-consistency histogram)."""
         if self.last_frame is None:
             return frame, False
         t_pred = self.velocity @ self.last_frame.t_cw
-        # candidate points: the covisible window of the LAST frame's tracked
-        # points (the reference matches against the last frame's map points,
-        # `ORBmatcher::SearchByProjection(F, LastFrame)`, :1328)
-        idx, mask = _gather_local_points(
-            self.state, self._local_kf_window(self.last_frame.pt_idx)
-        )
-        # per-point keypoint angle as observed in the LAST frame, NaN for
-        # points it did not track — feeds the rotation-consistency gate
-        # (reference rotHist in SearchByProjection(F, LastFrame), :1328)
-        lf = self.last_frame
-        P = self.state.pt_pos.shape[0]
-        scatter_to = jnp.where(lf.pt_idx >= 0, lf.pt_idx, P)
-        pt_angle = jnp.full(P + 1, jnp.nan, jnp.float32) \
-            .at[scatter_to].set(lf.feats.angle)[:P]
-        pt_idx, matched = match_local_points(
-            self.cfg.cam, t_pred, self.state.pt_pos[idx],
-            self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
-            frame.feats.xy, frame.feats.desc, frame.feats.level,
-            frame.feats.valid, radius=15.0,
-            pt_normal=self.state.pt_normal[idx],
-            pt_min_d=self.state.pt_min_d[idx],
-            pt_max_d=self.state.pt_max_d[idx],
-            feat_angle=frame.feats.angle, pt_angle=pt_angle[idx],
-            check_rotation=True,
-        )
-        pt_global = jnp.where(pt_idx >= 0, idx[jnp.maximum(pt_idx, 0)], -1)
-        if int(jnp.sum(pt_global >= 0)) < 20:
+        new_frame, stats = self._run_stage(
+            frame, self.last_frame.pt_idx, frame.pt_idx, t_pred,
+            radius=15.0, check_rotation=True, update_stats=False)
+        if stats[0] < 20:   # n_matched
             return frame, False
-        frame, n = self._pose_from_matches(frame, pt_global,
-                                           pt_global >= 0, t_pred)
-        return frame, n >= 10
+        return new_frame, int(stats[1]) >= 10
 
     def _track_reference_kf(self, frame: Frame):
         """Descriptor match against the reference KF (:839)."""
@@ -405,36 +526,13 @@ class Tracker:
     def _track_local_map(self, frame: Frame):
         """Re-match against the full local point set at the refined pose and
         optimize once more (:1012).  The local set is covisibility-retrieved
-        from the frame's own matches (UpdateLocalKeyFrames role)."""
-        idx, mask = _gather_local_points(
-            self.state, self._local_kf_window(frame.pt_idx))
-        pt_idx, matched = match_local_points(
-            self.cfg.cam, frame.t_cw, self.state.pt_pos[idx],
-            self.state.pt_valid[idx] & mask, self.state.pt_desc[idx],
-            frame.feats.xy, frame.feats.desc, frame.feats.level,
-            frame.feats.valid, radius=4.0,
-            pt_normal=self.state.pt_normal[idx],
-            pt_min_d=self.state.pt_min_d[idx],
-            pt_max_d=self.state.pt_max_d[idx],
-        )
-        pt_global = jnp.where(pt_idx >= 0, idx[jnp.maximum(pt_idx, 0)], -1)
-        # keep motion-model matches where the local-map match is empty
-        pt_merged = jnp.where(pt_global >= 0, pt_global, frame.pt_idx)
-        frame, n = self._pose_from_matches(frame, pt_merged, pt_merged >= 0,
-                                           frame.t_cw)
-        # found/visible statistics (MapPoint::IncreaseVisible/Found — drives
-        # the found-ratio culling): candidates in view count as visible,
-        # pose-opt inliers as found
-        P = self.state.pt_pos.shape[0]
-        vis_idx = jnp.where(mask, idx, P)
-        visible = jnp.zeros(P + 1, jnp.int32).at[vis_idx].add(1)[:P]
-        found_idx = jnp.where(frame.pt_idx >= 0, frame.pt_idx, P)
-        found = jnp.zeros(P + 1, jnp.int32).at[found_idx].add(1)[:P]
-        self.state = self.state._replace(
-            pt_visible=self.state.pt_visible + visible,
-            pt_found=self.state.pt_found + found,
-        )
-        return frame, n
+        from the frame's own matches (UpdateLocalKeyFrames role); motion-
+        model matches are kept where the local-map match is empty; found/
+        visible statistics update inside the same fused dispatch."""
+        new_frame, stats = self._run_stage(
+            frame, frame.pt_idx, frame.pt_idx, frame.t_cw,
+            radius=4.0, check_rotation=False, update_stats=True)
+        return new_frame, int(stats[1])
 
     def _relocalize(self, frame: Frame):
         """Relocalization: BoW candidates (when the System installed a
@@ -469,7 +567,7 @@ class Tracker:
         return frame, False
 
     # ------------------------------------------------------------------
-    def _need_new_keyframe(self, frame: Frame) -> bool:
+    def _need_new_keyframe(self) -> bool:
         """`Tracking::NeedNewKeyFrame` parity (`src/Tracking.cc:1059-1142`):
 
         - close-point census (stereo/RGB-D): many near points with depth
@@ -486,22 +584,16 @@ class Tracker:
           tracked count, or close-point pressure — and > 15 inliers.
         Insert iff (c1a | c1b | c1c) & c2."""
         since = self.frame_id - self.last_kf_frame_id
-        n_kf = int(np.asarray(self.state.kf_valid).sum())
+        n_kf = int(self._kf_valid_np().sum())
 
-        ref_n = int(jnp.sum(self.state.kf_feat_pt[self.ref_kf] >= 0)) \
-            if self.ref_kf >= 0 else 0
+        # counts come from the last fused stage's stats vector — no extra
+        # device fetches (mThDepth = bf/fx · ThDepth, `Tracking.cc:128-134`)
+        stats = self._stage_stats
+        ref_n = int(stats[5]) if stats is not None else 0
 
         need_close = False
-        if self.cfg.sensor != "mono":
-            # metric close threshold: mThDepth = bf/fx · ThDepth
-            # (`Tracking.cc:128-134`)
-            thd = self.cfg.cam.bf / self.cfg.cam.fx \
-                * self.cfg.tracking.th_depth
-            close = (frame.depth > 0) & (frame.depth < thd) \
-                & frame.feats.valid
-            n_tracked_close = int(jnp.sum(close & (frame.pt_idx >= 0)))
-            n_nontracked_close = int(jnp.sum(close & (frame.pt_idx < 0)))
-            need_close = n_nontracked_close > 70 and n_tracked_close < 100
+        if self.cfg.sensor != "mono" and stats is not None:
+            need_close = int(stats[4]) > 70 and int(stats[3]) < 100
 
         # thRefRatio: 0.75 stereo/RGB-D, 0.9 mono, 0.4 when the map is tiny
         # (`Tracking.cc:1103-1110`)

@@ -1,0 +1,190 @@
+"""Long-run stress e2e: an out-and-back synthetic drive with real drift,
+loop closures detected from images alone (BoW vocabulary trained on the
+sequence's own descriptors), keyframe-capacity exhaustion made observable,
+and the CLI (`tools/run_slam.py --vocab ... --bootstrap-vocab N`) closing
+loops from a sequence directory on disk — the role of a full KITTI run
+(reference `README.md:114-137`, vocabulary boot `dsp_slam.cc:33-53`).
+
+World: textured tilted plane at z≈3 m viewed by a stereo camera whose x
+follows a smooth cosine out-and-back (velocity continuous through the
+turnaround, so motion-model tracking survives).  On the way back the camera
+re-enters previously seen territory with accumulated drift; tracking is
+connected only to return-leg keyframes, so place recognition + Sim3 must
+close the loop.
+"""
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dsp_slam_rgbd_tpu.config import MapConfig, SystemConfig, TrackingConfig
+from dsp_slam_rgbd_tpu.frontend import orb
+from dsp_slam_rgbd_tpu.frontend.orb import OrbConfig
+from dsp_slam_rgbd_tpu.loop import vocabulary
+from dsp_slam_rgbd_tpu.ops import camera as cam_ops
+from dsp_slam_rgbd_tpu.system.slam import SLAMSystem
+
+H, W = 160, 224
+FX = 200.0
+BASE = 0.5
+PLANE_Z = 3.0
+TILT = 0.12
+CAM = cam_ops.Intrinsics(fx=FX, fy=FX, cx=W / 2, cy=H / 2, bf=FX * BASE)
+
+
+def make_texture(rng, size=2048):
+    from scipy.ndimage import gaussian_filter
+
+    t = rng.uniform(0, 255, (size, size))
+    return gaussian_filter(t, 1.2).astype(np.float32)
+
+
+def render(texture, cam_x, tex_scale=450.0):
+    from scipy.ndimage import map_coordinates
+
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    dx = (u - CAM.cx) / FX
+    dy = (v - CAM.cy) / FX
+    t = (PLANE_Z + TILT * cam_x) / (1.0 - TILT * dx)
+    X = cam_x + dx * t
+    Y = dy * t
+    tx = X * tex_scale / 10.0 + texture.shape[1] / 2
+    ty = Y * tex_scale / 10.0 + texture.shape[0] / 2
+    return map_coordinates(texture, [ty, tx], order=1, mode="wrap").astype(
+        np.float32)
+
+
+def loop_path(n_total=52, amp=4.2):
+    """Smooth out-and-back: x(t) = amp·(1−cos 2πt)/2."""
+    return [amp * 0.5 * (1.0 - math.cos(2.0 * math.pi * i / n_total))
+            for i in range(n_total + 1)]
+
+
+def make_cfg(max_kf=40):
+    return SystemConfig(
+        sensor="stereo", cam=CAM,
+        orb=OrbConfig(n_features=400, n_levels=3),
+        tracking=TrackingConfig(fps=10.0, th_depth=30.0,
+                                max_frames_between_kf=4,
+                                min_tracked_for_ok=25),
+        map=MapConfig(max_kf=max_kf, max_feat=512, max_pts=16384, max_obj=4,
+                      max_oobs=64, local_window=6),
+    )
+
+
+@pytest.fixture(scope="module")
+def loop_world(tmp_path_factory):
+    """Render the loop sequence once; also write it to disk for the CLI."""
+    rng = np.random.default_rng(0)
+    texture = make_texture(rng)
+    xs = loop_path()
+    frames = [(render(texture, x), render(texture, x + BASE)) for x in xs]
+
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("loopseq")
+    (root / "image_2").mkdir()
+    (root / "image_3").mkdir()
+    for i, (il, ir) in enumerate(frames):
+        Image.fromarray(np.clip(il, 0, 255).astype(np.uint8)).save(
+            root / "image_2" / f"{i:06d}.png")
+        Image.fromarray(np.clip(ir, 0, 255).astype(np.uint8)).save(
+            root / "image_3" / f"{i:06d}.png")
+    return xs, frames, root
+
+
+def _train_vocab(frames, cfg):
+    descs = []
+    for i in range(0, len(frames), 6):
+        f = orb.extract(jnp.asarray(frames[i][0]), cfg.orb)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    return vocabulary.train(np.concatenate(descs), branching=8, depth=3)
+
+
+def test_long_run_loop_closure(loop_world):
+    """Drive the full out-and-back: tracking survives the turnaround,
+    drift accumulates, and the return leg closes ≥1 loop against the
+    outbound map, improving the trajectory."""
+    xs, frames, _ = loop_world
+    cfg = make_cfg()
+    vocab = _train_vocab(frames, cfg)
+    sys_ = SLAMSystem(cfg, vocab=vocab)
+    for i, (il, ir) in enumerate(frames):
+        sys_.track_stereo(il, ir, timestamp=i * 0.1)
+
+    traj = sys_.tracker.trajectory
+    ok = np.asarray([o for _, _, o in traj])
+    assert ok.mean() > 0.9, "tracking must survive the turnaround"
+    assert sys_.loop_closures >= 1, "the revisit must close a loop"
+    # post-loop staged GBA budget drains across subsequent keyframes
+    assert sys_.n_kf > 10
+    est_x = np.asarray([-p[0, 3] for _, p, o in traj if o])
+    assert np.isfinite(est_x).all()
+    gt_x = np.asarray([xs[i] for i in range(len(traj)) if traj[i][2]])
+    # bounded drift after closure (unclosed runs measured ~1.1 m here)
+    assert np.abs(est_x - gt_x).max() < 1.0
+
+
+def test_kf_capacity_exhaustion_observable():
+    """Keyframe-slot exhaustion is counted and warned, never silent, and
+    the system keeps tracking (degraded) past the capacity wall."""
+    import warnings
+
+    rng = np.random.default_rng(1)
+    texture = make_texture(rng)
+    cfg = make_cfg(max_kf=3)
+    sys_ = SLAMSystem(cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for i in range(14):
+            x = i * 0.08
+            sys_.track_stereo(render(texture, x), render(texture, x + BASE),
+                              timestamp=i * 0.1)
+    assert sys_.kf_slots_exhausted > 0
+    assert any(issubclass(w.category, RuntimeWarning) and
+               "keyframe capacity" in str(w.message) for w in caught)
+    # the run continued: every frame has a trajectory entry
+    assert len(sys_.tracker.trajectory) == 14
+
+
+def test_cli_loop_closing(loop_world, tmp_path):
+    """run_slam.py on the on-disk loop sequence with --bootstrap-vocab
+    reports ≥1 loop closure (reference vocabulary boot, dsp_slam.cc:33-53)."""
+    _, _, seq_dir = loop_world
+    yaml = tmp_path / "cam.yaml"
+    yaml.write_text(
+        "Camera.fx: 200.0\nCamera.fy: 200.0\nCamera.cx: 112.0\n"
+        "Camera.cy: 80.0\nCamera.bf: 100.0\nCamera.fps: 10.0\n"
+        "ThDepth: 60.0\nORBextractor.nFeatures: 400\n"
+        "ORBextractor.nLevels: 3\n"
+    )
+    out_dir = tmp_path / "out"
+    env = dict(os.environ)
+    sitecustom = tmp_path / "sitecustomize.py"
+    sitecustom.write_text(
+        "import jax\njax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir', "
+        f"{os.environ.get('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = f"{tmp_path}:{repo}"
+
+    proc = subprocess.run(
+        [sys.executable, "tools/run_slam.py", str(seq_dir), str(out_dir),
+         "--sensor", "stereo", "--yaml", str(yaml),
+         "--vocab", str(tmp_path / "vocab.npz"), "--bootstrap-vocab", "8"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "vocabulary trained + saved" in proc.stdout
+    assert (tmp_path / "vocab.npz").exists()
+    m = [ln for ln in proc.stdout.splitlines() if "loop closures:" in ln]
+    assert m, proc.stdout[-2000:]
+    n_loops = int(m[0].split("loop closures:")[1].strip())
+    assert n_loops >= 1, proc.stdout[-2000:]
+    assert (out_dir / "CameraTrajectory.txt").exists()
