@@ -91,12 +91,28 @@ def main():
     dt = time.perf_counter() - t0
 
     recon_per_s = (B * n_rep) / dt
-    print(json.dumps({
+    out = {
         "metric": "kitti_budget_object_reconstructions_per_s",
         "value": round(recon_per_s, 3),
         "unit": "reconstructions/s",
         "vs_baseline": round(recon_per_s / BASELINE_RECON_PER_S, 3),
-    }))
+    }
+    # secondary metric in the same JSON line: whole-pipeline FPS (full
+    # system loop on KITTI-size stereo — the reference's ~10 FPS envelope)
+    try:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.bench_pipeline import run as pipeline_run
+
+        p = pipeline_run(frames=18, warmup=6)
+        out["pipeline_fps"] = p["value"]
+        out["pipeline_track_only_ms"] = p["track_only_ms"]
+        out["pipeline_kf_frame_ms"] = p["kf_frame_ms"]
+    except Exception as e:  # never fail the primary metric
+        out["pipeline_fps_error"] = str(e)[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -94,13 +94,19 @@ def match_stereo(feats_l, feats_r, img_l, img_r, bf: float,
         delta = (d1 - d2) / (2.0 * denom)
         delta = jnp.clip(delta, -1.0, 1.0)
         best_r = x_r0 + (km.astype(jnp.float32) - L) + delta
-        return best_r, ok
+        return best_r, ok, d0
 
     x_r_matched = jnp.where(m.valid, xr[m.idx], 0.0)
-    u_r, ref_ok = jax.vmap(refine)(xl, yl, x_r_matched)
+    u_r, ref_ok, best_sad = jax.vmap(refine)(xl, yl, x_r_matched)
 
     disparity = xl - u_r
     ok = m.valid & ref_ok & (disparity > 0.0) & (disparity <= max_disp)
+    # median-SAD outlier rejection (reference `Frame.cc:595-620`): sort the
+    # accepted matches' best SAD distances and discard those beyond
+    # 1.5·1.4·median — the gross mismatches that survive the descriptor +
+    # epipolar gates (their wrong disparity makes grossly wrong map points)
+    med = jnp.nanmedian(jnp.where(ok, best_sad, jnp.nan))
+    ok = ok & jnp.where(jnp.isfinite(med), best_sad <= 1.5 * 1.4 * med, True)
     u_r = jnp.where(ok, u_r, -1.0)
     depth = jnp.where(ok, bf / jnp.maximum(disparity, 1e-6), -1.0)
     return StereoMatches(u_r, depth, ok)

@@ -18,6 +18,7 @@ Map-state mutations are functional; the host drives the sequencing.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -110,12 +111,41 @@ def guided_rematch(state: ms.MapState, cam, kf_q: int, kf_c: int,
         have_c & in_front, mask=win, max_dist=matcher.TH_HIGH, mutual=True)
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def _group_projection_count(state: ms.MapState, cam, kf_q, kf_c,
+                            t_21, radius: float = 10.0):
+    """The reference's final loop-acceptance gate (`LoopClosing.cc:331-356`):
+    project EVERY map point observed by the candidate's covisible group into
+    the query keyframe through the refined Sim3 and count descriptor matches
+    within a 10 px window (`SearchByProjection(mvpLoopMapPoints)`).  Two
+    keyframes related by a wrong-but-self-consistent Sim3 (perceptual
+    aliasing on repetitive structure) pass the 20-inlier refinement gate yet
+    fail this one: the wider group's points do not re-project coherently."""
+    K = state.kf_valid.shape[0]
+    group = (covis.covisibility_row(state, kf_c) >= covis.MIN_WEIGHT)
+    group = group.at[kf_c].set(True) & state.kf_valid
+    pmask = ms.point_mask_of(state, group)
+    # candidate-cam → query-cam through the loop Sim3
+    p_q = lie.transform_points(t_21 @ state.kf_pose[kf_c], state.pt_pos)
+    uv = cam_ops.project(cam, p_q)
+    cand = pmask & (p_q[:, 2] > 0.1)
+    d2 = jnp.sum((state.kf_xy[kf_q][:, None, :] - uv[None, :, :]) ** 2, -1)
+    win = d2 <= radius ** 2
+    m = matcher.match(state.kf_desc[kf_q], state.kf_feat_valid[kf_q],
+                      state.pt_desc, cand, mask=win,
+                      max_dist=matcher.TH_HIGH, mutual=True)
+    return jnp.sum(m.valid).astype(jnp.int32)
+
+
 def compute_loop_sim3(state: ms.MapState, cam, kf_q: int, kf_c: int, key,
-                      fix_scale: bool = True, min_accept: int = 20):
+                      fix_scale: bool = True, min_accept: int = 20,
+                      min_group_matches: int = 40):
     """Full loop Sim(3) pipeline (`LoopClosing::ComputeSim3`,
-    `LoopClosing.cc:241-330`): descriptor matches → Sim3Solver RANSAC →
-    guided `SearchBySim3` re-match → `OptimizeSim3` GN refinement; the loop
-    is accepted only if the refined solution keeps ≥ `min_accept` inliers.
+    `LoopClosing.cc:241-356`): descriptor matches → Sim3Solver RANSAC →
+    guided `SearchBySim3` re-match → `OptimizeSim3` GN refinement → the
+    loop-group projection gate; the loop is accepted only if the refined
+    solution keeps ≥ `min_accept` inliers AND ≥ `min_group_matches` of the
+    candidate group's map points re-project onto query descriptors.
 
     Returns sim3_mod.Sim3Result with t_21 mapping candidate-camera coords
     into query-camera coords (the reference's Scm)."""
@@ -134,11 +164,20 @@ def compute_loop_sim3(state: ms.MapState, cam, kf_q: int, kf_c: int, key,
     if not bool(res.ok):
         return res
 
-    # guided re-match with the RANSAC estimate, then union with the
-    # descriptor matches (original pairs win where both exist)
+    # guided re-match with the RANSAC estimate in BOTH directions (the
+    # reference's SearchBySim3 projects KF1 points into KF2 AND KF2 points
+    # into KF1, ORBmatcher.cc:1102-1256), then union with the descriptor
+    # matches (original pairs win, then forward, then reverse)
     m2 = guided_rematch(state, cam, kf_q, kf_c, res.t_21)
-    idx_u = jnp.where(m.valid, m.idx, m2.idx)
-    val_u = m.valid | m2.valid
+    m3 = guided_rematch(state, cam, kf_c, kf_q, lie.inv_sim3(res.t_21))
+    # m3 is per-candidate-feature → query idx; invert to per-query → cand
+    Fq = state.kf_xy.shape[1]
+    tgt = jnp.where(m3.valid, m3.idx, Fq)
+    rev_idx = jnp.full(Fq + 1, -1, jnp.int32).at[tgt].set(
+        jnp.arange(m3.idx.shape[0], dtype=jnp.int32))[:Fq]
+    idx_u = jnp.where(m.valid, m.idx,
+                      jnp.where(m2.valid, m2.idx, rev_idx))
+    val_u = m.valid | m2.valid | (rev_idx >= 0)
     p_q, p_c, uv_q, uv_c, ok_u = _pairs_from_match(state, kf_q, kf_c,
                                                    idx_u, val_u)
 
@@ -147,6 +186,9 @@ def compute_loop_sim3(state: ms.MapState, cam, kf_q: int, kf_c: int, key,
         fix_scale=fix_scale,
     )
     ok_fin = (n_in >= min_accept) & jnp.all(jnp.isfinite(t_ref))
+    if bool(ok_fin):
+        n_group = _group_projection_count(state, cam, kf_q, kf_c, t_ref)
+        ok_fin = ok_fin & (n_group >= min_group_matches)
     return sim3_mod.Sim3Result(t_ref, inl, n_in, ok_fin)
 
 
@@ -223,6 +265,12 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
     # (vectorized: strong-pair extraction from the covisibility matrix and
     # a vmapped relative-measurement build — no O(K²) host loops)
     kf_idx = np.nonzero(np.asarray(state.kf_valid))[0]
+    # spanning chain in TEMPORAL order (kf_frame_id) — slot indices are
+    # recycled after culling, so consecutive slots can hold temporally
+    # distant keyframes and a slot-ordered chain would link them with
+    # drift-contaminated relative measurements, warping the whole graph
+    order = np.argsort(np.asarray(state.kf_frame_id)[kf_idx])
+    kf_idx = kf_idx[order]
     chain = np.stack([kf_idx[:-1], kf_idx[1:]], 1) if len(kf_idx) > 1 \
         else np.zeros((0, 2), np.int64)
     Wn = np.asarray(W)

@@ -74,7 +74,7 @@ def _pad_idx(a: np.ndarray, cap: int, drop: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("cam", "max_new"))
 def _spawn_depth_device(state: ms.MapState, cam, kf_slot, frame, slots,
-                        th_depth, max_new: int):
+                        th_depth, first_id, max_new: int):
     P = state.pt_pos.shape[0]
     F = state.kf_feat_pt.shape[1]
     has = (frame.depth > 0) & (frame.depth < th_depth) \
@@ -101,7 +101,12 @@ def _spawn_depth_device(state: ms.MapState, cam, kf_slot, frame, slots,
         pt_valid=state.pt_valid.at[sl].set(True, mode="drop"),
         pt_desc=state.pt_desc.at[sl].set(frame.feats.desc[ch], mode="drop"),
         pt_ref_kf=state.pt_ref_kf.at[sl].set(kf_slot, mode="drop"),
-        pt_first_kf=state.pt_first_kf.at[sl].set(kf_slot, mode="drop"),
+        pt_first_kf=state.pt_first_kf.at[sl].set(first_id, mode="drop"),
+        # reset the found/visible counters: a recycled point slot must NOT
+        # inherit the evicted point's ratio (an inherited ratio < 0.25 made
+        # cull_points evict fresh points the moment slot reuse began)
+        pt_visible=state.pt_visible.at[sl].set(1, mode="drop"),
+        pt_found=state.pt_found.at[sl].set(1, mode="drop"),
         kf_feat_pt=state.kf_feat_pt.at[kf_slot, feat_tgt].set(
             sl_val, mode="drop"
         ),
@@ -109,18 +114,26 @@ def _spawn_depth_device(state: ms.MapState, cam, kf_slot, frame, slots,
 
 
 def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
-                       th_depth: float, max_new: int = 256) -> ms.MapState:
+                       th_depth: float, max_new: int = 256,
+                       first_id: int | None = None) -> ms.MapState:
     """Create map points from close stereo/RGB-D depth for features without
     an associated point (reference `CreateNewKeyFrame` close-point spawning,
     `Tracking.cc:1185-1237`).  Host pre-allocates slots; selection and
-    scatters run as one device program."""
+    scatters run as one device program.
+
+    first_id: MONOTONIC keyframe id stamped as the points' creation age for
+    cull_points (the reference's mnFirstKFid).  KF slot indices are recycled
+    after culling, so a slot index is not a usable age."""
     slots = ms.alloc_slots(state.pt_valid, max_new)
+    if first_id is None:
+        first_id = kf_slot
     return _spawn_depth_device(state, cam, kf_slot, frame,
-                               jnp.asarray(slots), th_depth, max_new)
+                               jnp.asarray(slots), th_depth,
+                               jnp.int32(first_id), max_new)
 
 
 @partial(jax.jit, static_argnames=("cam", "max_new", "n_neighbors"))
-def _triangulate_device(state: ms.MapState, cam, kf_slot, slots,
+def _triangulate_device(state: ms.MapState, cam, kf_slot, slots, first_id,
                         max_new: int, n_neighbors: int):
     """Two-view triangulation against the best covisible neighbors as ONE
     fused program: a `lax.scan` over the neighbor axis replaces the host
@@ -149,8 +162,8 @@ def _triangulate_device(state: ms.MapState, cam, kf_slot, slots,
     slots_safe = jnp.where(slot_ok, slots, P)
 
     def per_neighbor(carry, nb_w):
-        pt_pos, pt_valid, pt_desc, pt_ref, pt_first, kf_feat_pt, free_a, \
-            cursor = carry
+        pt_pos, pt_valid, pt_desc, pt_ref, pt_first, pt_vis, pt_fnd, \
+            kf_feat_pt, free_a, cursor = carry
         nb, w = nb_w
         nb_ok = (nb != kf_slot) & (w >= covis.MIN_WEIGHT)
 
@@ -191,7 +204,10 @@ def _triangulate_device(state: ms.MapState, cam, kf_slot, slots,
         pt_valid = pt_valid.at[sl].set(True, mode="drop")
         pt_desc = pt_desc.at[sl].set(desc1, mode="drop")
         pt_ref = pt_ref.at[sl].set(kf_slot, mode="drop")
-        pt_first = pt_first.at[sl].set(kf_slot, mode="drop")
+        pt_first = pt_first.at[sl].set(first_id, mode="drop")
+        # fresh counters for recycled slots (see _spawn_depth_device)
+        pt_vis = pt_vis.at[sl].set(1, mode="drop")
+        pt_fnd = pt_fnd.at[sl].set(1, mode="drop")
         feat_tgt = jnp.where(sl < P, jnp.arange(F), F)
         nb_tgt = jnp.where(sl < P, jnp.maximum(m.idx, 0), F)
         kf_feat_pt = kf_feat_pt.at[kf_slot, feat_tgt].set(sl_val,
@@ -199,32 +215,40 @@ def _triangulate_device(state: ms.MapState, cam, kf_slot, slots,
                                .at[nb, nb_tgt].set(sl_val, mode="drop")
         free_a = free_a & (sl >= P)
         cursor = cursor + jnp.sum((sl < P).astype(jnp.int32))
-        return (pt_pos, pt_valid, pt_desc, pt_ref, pt_first, kf_feat_pt,
-                free_a, cursor), None
+        return (pt_pos, pt_valid, pt_desc, pt_ref, pt_first, pt_vis, pt_fnd,
+                kf_feat_pt, free_a, cursor), None
 
     free_a0 = state.kf_feat_valid[kf_slot] & (state.kf_feat_pt[kf_slot] < 0)
     carry0 = (state.pt_pos, state.pt_valid, state.pt_desc, state.pt_ref_kf,
-              state.pt_first_kf, state.kf_feat_pt, free_a0,
-              jnp.int32(0))
+              state.pt_first_kf, state.pt_visible, state.pt_found,
+              state.kf_feat_pt, free_a0, jnp.int32(0))
     carry, _ = jax.lax.scan(per_neighbor, carry0,
                             (order, w_sorted))
-    pt_pos, pt_valid, pt_desc, pt_ref, pt_first, kf_feat_pt, _, n = carry
+    (pt_pos, pt_valid, pt_desc, pt_ref, pt_first, pt_vis, pt_fnd,
+     kf_feat_pt, _, n) = carry
     return state._replace(
         pt_pos=pt_pos, pt_valid=pt_valid, pt_desc=pt_desc,
-        pt_ref_kf=pt_ref, pt_first_kf=pt_first, kf_feat_pt=kf_feat_pt,
+        pt_ref_kf=pt_ref, pt_first_kf=pt_first, pt_visible=pt_vis,
+        pt_found=pt_fnd, kf_feat_pt=kf_feat_pt,
     ), n
 
 
 def triangulate_new_points(state: ms.MapState, cam, kf_slot: int,
-                           max_new: int = 256, n_neighbors: int = 10
-                           ) -> ms.MapState:
+                           max_new: int = 256, n_neighbors: int = 10,
+                           first_id: int | None = None) -> ms.MapState:
     """Two-view triangulation against the best covisible neighbors
     (CreateNewMapPoints :259: nn = 10 stereo / 20 mono neighbors, baseline
     gate, epipolar-constrained match).  Host wrapper: pre-allocates free
-    point slots, then runs the fused neighbor scan on device."""
+    point slots, then runs the fused neighbor scan on device.
+
+    first_id: monotonic keyframe id for point-culling age (see
+    spawn_depth_points)."""
     slots = ms.alloc_slots(state.pt_valid, max_new)
+    if first_id is None:
+        first_id = kf_slot
     new_state, _ = _triangulate_device(state, cam, kf_slot,
-                                       jnp.asarray(slots), max_new,
+                                       jnp.asarray(slots),
+                                       jnp.int32(first_id), max_new,
                                        n_neighbors)
     return new_state
 
@@ -247,7 +271,7 @@ def fuse_neighbors(state: ms.MapState, cam, kf_slot: int,
     nb_pts = ms.point_mask_of(state, nb_mask)
 
     free = state.kf_feat_valid[kf_slot] & (state.kf_feat_pt[kf_slot] < 0)
-    pt_idx, matched = _match_body(
+    pt_idx, matched, _ = _match_body(
         cam, state.kf_pose[kf_slot], state.pt_pos, nb_pts & state.pt_valid,
         state.pt_desc, state.kf_xy[kf_slot], state.kf_desc[kf_slot],
         state.kf_level[kf_slot], free, radius=radius,
@@ -308,18 +332,40 @@ def update_point_geometry(state: ms.MapState) -> ms.MapState:
 
 
 @partial(jax.jit, static_argnames=("min_found_ratio", "min_obs_after"))
-def cull_points(state: ms.MapState, current_kf: int,
-                min_found_ratio: float = 0.25,
-                min_obs_after: int = 2) -> ms.MapState:
-    """MapPointCulling (:222): drop points with poor found/visible ratio or
-    too few observations a few KFs after creation."""
-    n_obs = ms.point_obs_counts(state)
+def cull_points(state: ms.MapState, current_id: int,
+                min_found_ratio: float = 0.2,
+                min_obs_after: int = 4) -> ms.MapState:
+    """MapPointCulling (`LocalMapping.cc:222`): judge RECENT points only —
+    the reference walks mlpRecentAddedMapPoints and a point leaves that list
+    for good once 3 keyframes have passed since its creation.  Culling
+    mature points by found/visible ratio is wrong: on a revisit, drifted
+    old points become visible-but-unmatched and the whole established map
+    erodes (observed as mass point loss on a loop's return leg).
+
+    current_id: the MONOTONIC keyframe id of the keyframe being processed
+    (same counter stamped into pt_first_kf at creation — KF slot indices
+    are recycled and cannot express age).
+
+    min_obs_after: a recent point with weighted obs < this at age ≥ 2 dies —
+    the reference's `Observations() <= cnThObs` with cnThObs = 3 stereo / 2
+    mono (`LocalMapping.cc:230-245`), i.e. pass 4 (stereo) or 3 (mono).
+    Stereo observations count double (MapPoint::AddObservation nObs += 2),
+    so a point seen by 2 stereo keyframes survives the stereo gate.
+
+    min_found_ratio: 0.2 vs the reference's 0.25 — this matcher is mutual +
+    second-best-ratio gated, so per-frame found coverage of in-frustum
+    points is structurally lower than the reference's point-claims-feature
+    search; at 0.25 healthy fresh points died in droves (measured on the
+    long-run fixture), at 0.2 the arm only catches pathological points."""
+    n_obs = ms.point_obs_counts_weighted(state)
     ratio = state.pt_found.astype(jnp.float32) / jnp.maximum(
         state.pt_visible.astype(jnp.float32), 1.0
     )
-    age = current_kf - state.pt_first_kf
-    bad = (ratio < min_found_ratio) | ((age >= 2) & (n_obs < min_obs_after))
-    keep = state.pt_valid & ~(bad & (state.pt_first_kf >= 0))
+    age = current_id - state.pt_first_kf
+    recent = (age >= 0) & (age < 3) & (state.pt_first_kf >= 0)
+    bad = recent & (
+        (ratio < min_found_ratio) | ((age >= 2) & (n_obs < min_obs_after)))
+    keep = state.pt_valid & ~bad
     # detach dead points from KF feature tables
     dead = state.pt_valid & ~keep
     assoc = state.kf_feat_pt
@@ -378,7 +424,26 @@ def _cull_keyframes_device(state: ms.MapState, kf_slot,
     (kf_valid, kf_feat_pt), culled = jax.lax.scan(
         one_round, (state.kf_valid, state.kf_feat_pt), None,
         length=max_cull)
-    return state._replace(kf_valid=kf_valid, kf_feat_pt=kf_feat_pt), culled
+    state = state._replace(kf_valid=kf_valid, kf_feat_pt=kf_feat_pt)
+    # re-anchor pt_ref_kf away from culled slots: loop correction and
+    # point-geometry maintenance move each point WITH its reference
+    # keyframe — a stale ref whose slot is later recycled makes the point
+    # ride an unrelated keyframe's motion and scrambles the map exactly
+    # when a loop closes (the reference reassigns mpRefKF in
+    # MapPoint::EraseObservation).  New ref = the observing KF with the
+    # newest frame id, found via one scatter-max over the obs table.
+    P = state.pt_pos.shape[0]
+    ok = ms._obs_ok(state)
+    enc = jnp.where(ok, state.kf_frame_id[:, None] * K
+                    + jnp.arange(K)[:, None], -1)
+    tgt = jnp.where(ok, state.kf_feat_pt, P)
+    best = jnp.full(P + 1, -1, enc.dtype).at[tgt.reshape(-1)].max(
+        enc.reshape(-1))[:P]
+    ref = state.pt_ref_kf
+    ref_bad = (ref < 0) | ~kf_valid[jnp.maximum(ref, 0)]
+    new_ref = jnp.where(best >= 0, best % K, -1).astype(ref.dtype)
+    return state._replace(
+        pt_ref_kf=jnp.where(ref_bad, new_ref, ref)), culled
 
 
 class LocalIndex(NamedTuple):

@@ -177,6 +177,21 @@ def point_obs_counts(state: MapState) -> jnp.ndarray:
     )[:P]
 
 
+def point_obs_counts_weighted(state: MapState) -> jnp.ndarray:
+    """(P,) int32 observation count with STEREO observations counted twice —
+    the reference's `MapPoint::AddObservation` does `nObs += 2` when the
+    keyframe has a right coordinate for the feature (`MapPoint.cc:100-108`),
+    so the culling gate `Observations() <= 3` really means "fewer than two
+    stereo keyframes"."""
+    P = state.pt_pos.shape[0]
+    ok = _obs_ok(state)
+    w = jnp.where(state.kf_ur >= 0, 2, 1).astype(jnp.int32)
+    tgt = jnp.where(ok, state.kf_feat_pt, P)
+    return jnp.zeros(P + 1, jnp.int32).at[tgt.reshape(-1)].add(
+        jnp.where(ok, w, 0).reshape(-1)
+    )[:P]
+
+
 def kf_sees_mask(state: MapState, pt_mask: jnp.ndarray) -> jnp.ndarray:
     """(K,) bool: KFs observing at least one point in `pt_mask` (O(K·F))."""
     ok = _obs_ok(state)

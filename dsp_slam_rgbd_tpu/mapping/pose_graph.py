@@ -60,12 +60,24 @@ def optimize_pose_graph(poses, valid, fixed, edge_i, edge_j, edge_meas,
         )
     )
 
+    w = edge_weight * edge_mask * valid[edge_i] * valid[edge_j]
+    fix = fixed | ~valid
+    fix7 = jnp.repeat(fix, 7)
+
+    def edge_cost(poses):
+        e, _ = err_and_jac(poses[edge_i], poses[edge_j], edge_meas)
+        return jnp.sum(jnp.einsum("ed,ed,e->", e, e, w))
+
+    # Levenberg-Marquardt (the reference optimizes the essential graph with
+    # g2o's OptimizationAlgorithmLevenberg): a loop closure on a long drift
+    # injects large rotation+translation residuals on every edge crossing
+    # the warped-group boundary, and pure GN with fixed tiny damping
+    # oscillates or diverges there (observed on the long-run fixture).
     def step(_, carry):
-        poses, cost_prev = carry
+        poses, lam, cost_prev = carry
         Si = poses[edge_i]
         Sj = poses[edge_j]
         e, J = err_and_jac(Si, Sj, edge_meas)  # (E, 7), (E, 7, 14)
-        w = edge_weight * edge_mask * valid[edge_i] * valid[edge_j]
         Ji = J[:, :, :7]
         Jj = J[:, :, 7:]
 
@@ -79,22 +91,25 @@ def optimize_pose_graph(poses, valid, fixed, edge_i, edge_j, edge_meas,
         b = b.at[edge_i].add(-jnp.einsum("edi,ed,e->ei", Ji, e, w))
         b = b.at[edge_j].add(-jnp.einsum("edi,ed,e->ei", Jj, e, w))
 
-        fix = fixed | ~valid
-        fix7 = jnp.repeat(fix, 7)
         Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
         Hd = jnp.where(fix7[:, None] | fix7[None, :], 0.0, Hd)
-        Hd = Hd + jnp.diag(jnp.where(fix7, 1.0, damping))
+        diag = jnp.where(fix7, 1.0,
+                         damping + lam * jnp.maximum(jnp.diag(Hd), 1e-9))
+        Hd = Hd + jnp.diag(diag)
         bf = jnp.where(fix7, 0.0, b.reshape(-1))
         dx = jnp.linalg.solve(Hd, bf).reshape(K, 7)
         if fix_scale:
             dx = dx.at[:, 6].set(0.0)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
-        new_poses = jax.vmap(lambda d, S: lie.exp_sim3(d) @ S)(dx, poses)
-        cost = jnp.sum(jnp.einsum("ed,ed,e->", e, e, w))
-        return new_poses, cost
+        cand = jax.vmap(lambda d, S: lie.exp_sim3(d) @ S)(dx, poses)
+        cost_new = edge_cost(cand)
+        accept = cost_new < cost_prev
+        poses = jnp.where(accept, cand, poses)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), lam * 4.0)
+        return poses, lam, jnp.minimum(cost_new, cost_prev)
 
-    poses, cost = jax.lax.fori_loop(0, n_iters, step,
-                                    (poses, jnp.asarray(0.0)))
+    poses, _, cost = jax.lax.fori_loop(
+        0, n_iters, step, (poses, jnp.asarray(1e-4), edge_cost(poses)))
     return PoseGraphResult(poses, cost)
 
 

@@ -45,6 +45,11 @@ class SLAMSystem:
         self.consistency = loop_closing.ConsistencyState()
         self.n_kf = 0
         self.loop_closures = 0
+        # loop-closure cooldown (reference `mLastLoopKFid + 10` gate,
+        # LoopClosing.cc:DetectLoop): no new loop until 10 keyframes after
+        # the last — a second closure on a half-corrected map (the staged
+        # GBA budget still draining) compounds a bad Sim3 and breaks the map
+        self._last_loop_nkf = -100
         # staged global-BA budget: iterations still owed after a loop
         # closure, drained a slice at a time on subsequent keyframes
         self._gba_iters_left = 0
@@ -130,6 +135,18 @@ class SLAMSystem:
             else:
                 self._insert_keyframe(out["frame"], detections)
             self.tracker.state = self.state
+            # the frame just became keyframe `ref_kf`: re-anchor its
+            # relative-trajectory entry to ITSELF (T_rel = I), as the
+            # reference does (CreateNewKeyFrame sets mpReferenceKF = pKF so
+            # Tlr is identity).  Leaving the stale previous reference makes
+            # Tracking::UpdateLastFrame re-derive the last pose through a
+            # DIFFERENT keyframe than the map's canonical post-BA pose, and
+            # the motion-model prediction inherits the mismatch every frame
+            # (measured: ok 0.45 → 0.99 on the long-run fixture).
+            rel = self.tracker.relative_trajectory
+            if rel and rel[-1][0] == timestamp and self.tracker.ref_kf >= 0:
+                rel[-1] = (timestamp, self.tracker.ref_kf,
+                           jnp.eye(4), rel[-1][3])
             if first_kf and self.tracker.ref_kf >= 0 \
                     and not self.tracker.relative_trajectory:
                 # backfill the init frame into the relative trajectory (its
@@ -172,7 +189,7 @@ class SLAMSystem:
             pt_valid=self.state.pt_valid.at[sl].set(True),
             pt_desc=self.state.pt_desc.at[sl].set(ref.feats.desc[ch]),
             pt_ref_kf=self.state.pt_ref_kf.at[sl].set(k0),
-            pt_first_kf=self.state.pt_first_kf.at[sl].set(k0),
+            pt_first_kf=self.state.pt_first_kf.at[sl].set(0),  # monotonic id
             kf_feat_pt=self.state.kf_feat_pt
             .at[k0, ch].set(sl.astype(jnp.int32))
             .at[k1, jnp.asarray(midx[chosen])].set(sl.astype(jnp.int32)),
@@ -199,19 +216,27 @@ class SLAMSystem:
                     "increase MapConfig.max_kf", RuntimeWarning)
             return
         slot = int(slot)
+        # monotonic keyframe id (reference KeyFrame::mnId): slots are
+        # recycled after culling, so point-culling age must come from an
+        # ever-increasing counter, not the slot index
+        kid = self.n_kf
         self.state = lm.insert_keyframe(self.state, frame, slot,
                                         self.tracker.frame_id)
         if self.cfg.sensor in ("stereo", "rgbd"):
             self.state = lm.spawn_depth_points(
                 self.state, self.cfg.cam, slot, frame,
                 self.cfg.tracking.th_depth * self.cfg.cam.bf / self.cfg.cam.fx,
+                first_id=kid,
             )
         self.state = lm.triangulate_new_points(
             self.state, self.cfg.cam, slot,
             # reference nn: 10 covisible neighbors stereo, 20 mono (:259)
-            n_neighbors=10 if self.cfg.sensor in ("stereo", "rgbd") else 20)
+            n_neighbors=10 if self.cfg.sensor in ("stereo", "rgbd") else 20,
+            first_id=kid)
         self.state = lm.fuse_neighbors(self.state, self.cfg.cam, slot)
-        self.state = lm.cull_points(self.state, slot)
+        self.state = lm.cull_points(
+            self.state, kid,
+            min_obs_after=4 if self.cfg.sensor in ("stereo", "rgbd") else 3)
         self.state = lm.update_point_geometry(self.state)
 
         if detections:
@@ -360,9 +385,21 @@ class SLAMSystem:
     def _on_keyframe_culled(self, culled: int, fallback: int):
         """Purge a culled KF from the BoW database and re-anchor trajectory
         entries that referenced it (its slot may be reused later; the
-        reference re-parents frames to the spanning tree on culling)."""
+        reference re-parents frames to the spanning tree on culling).
+
+        The new anchor is the TEMPORALLY NEAREST surviving keyframe, not
+        the keyframe that triggered the cull: the trigger is the newest KF,
+        and anchoring an old frame to it means a later loop correction
+        (which moves new and old keyframes differentially) drags the frame
+        across the whole loop boundary."""
         if self.db is not None:
             self.db = self.db.remove(culled)
+        kv = np.asarray(self.state.kf_valid)
+        fids = np.asarray(self.state.kf_frame_id)
+        culled_fid = int(fids[culled])
+        alive = np.nonzero(kv)[0]
+        if len(alive):
+            fallback = int(alive[np.argmin(np.abs(fids[alive] - culled_fid))])
         T_culled = np.asarray(self.state.kf_pose[culled])
         T_new = np.asarray(self.state.kf_pose[fallback])
         T_new_inv = np.asarray(lie.inv_se3(jnp.asarray(T_new)))
@@ -430,6 +467,8 @@ class SLAMSystem:
         """Loop detection + correction per keyframe (LoopClosing::Run)."""
         if self.db is None or self.n_kf < 6:
             return
+        if self.n_kf < self._last_loop_nkf + 10:
+            return  # cooldown after a closure (LoopClosing.cc mLastLoopKFid)
         W = covis.covisibility_matrix(self.state)
         connected = (W[kf_slot] >= covis.MIN_WEIGHT)
         connected = connected.at[kf_slot].set(True)
@@ -459,15 +498,26 @@ class SLAMSystem:
         consistent = self.consistency.update(groups)
         if not consistent:
             return
+        # try EVERY enough-consistent candidate in descending BoW score
+        # (the reference iterates all of mvpEnoughConsistentCandidates,
+        # `LoopClosing::ComputeSim3`, LoopClosing.cc:241-270 — stopping at
+        # the single best-scored one misses loops whose best-scored
+        # candidate is a marginal view)
         scores_np = np.asarray(scores)
-        best = max(consistent, key=lambda k: float(scores_np[k]))
-        self._key, sub = jax.random.split(self._key)
+        cands_sorted = sorted(set(consistent),
+                              key=lambda k: -float(scores_np[k]))
         fix_scale = self.cfg.sensor != "mono"
-        res = loop_closing.compute_loop_sim3(
-            self.state, self.cfg.cam, kf_slot, best, sub,
-            fix_scale=fix_scale,
-        )
-        if not bool(res.ok):
+        res, best = None, -1
+        for c in cands_sorted[:5]:
+            self._key, sub = jax.random.split(self._key)
+            r = loop_closing.compute_loop_sim3(
+                self.state, self.cfg.cam, kf_slot, c, sub,
+                fix_scale=fix_scale,
+            )
+            if bool(r.ok):
+                res, best = r, c
+                break
+        if res is None:
             return
         self.state = loop_closing.correct_loop(
             self.state, self.cfg.cam, kf_slot, best, res.t_21,
@@ -493,6 +543,8 @@ class SLAMSystem:
         self._gba_iters_left = 10
         self._drain_gba_budget()
         self.loop_closures += 1
+        self._last_loop_nkf = self.n_kf
+        self.tracker.map_changed = True  # motion model must re-anchor
 
     def _drain_gba_budget(self):
         """Run one bounded slice of the owed post-loop global BA."""
@@ -501,6 +553,7 @@ class SLAMSystem:
         it = min(self.gba_slice_iters, self._gba_iters_left)
         self.state = lm.global_ba_step(self.state, self.cfg.cam, n_iters=it)
         self._gba_iters_left -= it
+        self.tracker.map_changed = True  # poses moved under the tracker
 
     # ------------------------------------------------------------------
     def _frame_poses(self):

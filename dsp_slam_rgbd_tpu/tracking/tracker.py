@@ -91,7 +91,10 @@ def _match_body(cam, t_cw, pt_pos, pt_valid, pt_desc, feat_xy,
                       max_dist=matcher.TH_HIGH, ratio=0.85, mutual=True,
                       angles_a=feat_angle, angles_b=pt_angle,
                       check_rotation=check_rotation)
-    return jnp.where(m.valid, m.idx, -1), m.valid
+    # cand = the reference's isInFrustum verdict per point — callers use it
+    # to bump the `visible` counter for exactly the points that had a
+    # chance to be found (MapPoint::IncreaseVisible, Tracking.cc:1579-1600)
+    return jnp.where(m.valid, m.idx, -1), m.valid, cand
 
 
 match_local_points = partial(jax.jit, static_argnames=("cam",
@@ -219,7 +222,7 @@ def _track_stage(cam, state: ms.MapState, vote_pt_idx, base_pt_idx, t_init,
     idx, mask = _gather_local_points_device(state, wmask)
     pt_angle = jnp.full(P + 1, jnp.nan, jnp.float32).at[
         jnp.where(last_pt_idx >= 0, last_pt_idx, P)].set(last_angles)[:P]
-    pt_li, matched = _match_body(
+    pt_li, matched, in_frustum = _match_body(
         cam, t_init, state.pt_pos[idx], state.pt_valid[idx] & mask,
         state.pt_desc[idx], feat_xy, feat_desc, feat_level, feat_valid,
         radius, state.pt_normal[idx], state.pt_min_d[idx],
@@ -249,8 +252,12 @@ def _track_stage(cam, state: ms.MapState, vote_pt_idx, base_pt_idx, t_init,
 
     vis = fnd = None
     if update_stats:
-        # found/visible counters (MapPoint::IncreaseVisible/Found)
-        vis_idx = jnp.where(mask, idx, P)
+        # found/visible counters (MapPoint::IncreaseVisible/Found) —
+        # visible ONLY for points passing the frustum test: counting the
+        # whole local gather inflates `visible` for points that had no
+        # chance to be found, and the found/visible cull then eats fresh
+        # points (reference increments via isInFrustum, Tracking.cc:1592)
+        vis_idx = jnp.where(mask & in_frustum, idx, P)
         visible = jnp.zeros(P + 1, jnp.int32).at[vis_idx].add(1)[:P]
         found_idx = jnp.where(pt_final >= 0, pt_final, P)
         found = jnp.zeros(P + 1, jnp.int32).at[found_idx].add(1)[:P]
@@ -280,6 +287,7 @@ class Tracker:
         # (`System::SaveTrajectoryTUM`, System.cc:380-420)
         self.relative_trajectory = []
         self.n_inliers_last = 0
+        self.map_changed = False  # set by the System on loop closure / GBA
         self._key = jax.random.PRNGKey(0)
         self._kv_memo = None  # (kf_valid device array, host copy)
         self._stage_stats = None  # last fused tracking-stage stats (np)
@@ -488,6 +496,35 @@ class Tracker:
         self._stage_stats = stats
         return frame._replace(t_cw=t_cw, pt_idx=pt_final), stats
 
+    def _update_last_frame(self):
+        """`Tracking::UpdateLastFrame` (Tracking.cc:921-947): recompute the
+        last frame's pose from its reference keyframe's CURRENT pose and the
+        stored relative transform.  After a loop correction or global BA
+        moves the keyframes, the stale absolute pose would put the motion
+        model an entire drift-correction away from the map — tracking died
+        permanently on the first post-loop frame without this.
+
+        Runs only when the System flags a big map change (`map_changed`,
+        set on loop closure / global-BA slices): re-deriving the pose every
+        frame through routine local-BA nudges mixes a raw-pose velocity
+        with a BA-shifted base and biases the prediction (measured as 3×
+        worse drift on the long-run fixture when applied per-frame)."""
+        if not self.map_changed or self.last_frame is None:
+            return
+        rel = self.relative_trajectory
+        if not rel:
+            return
+        ts, ref, t_rel, ok = rel[-1]
+        if not ok or ts != self.last_frame.timestamp:
+            return
+        t_cw = jnp.asarray(t_rel) @ self.state.kf_pose[ref]
+        self.last_frame = self.last_frame._replace(t_cw=t_cw)
+        self.map_changed = False
+        # the velocity was estimated between raw pre-correction poses;
+        # after a large correction the safest model is identity (the
+        # reference rebuilds it over the next frames the same way)
+        self.velocity = jnp.eye(4)
+
     def _track_motion_model(self, frame: Frame):
         """Constant-velocity prediction + projective match against the
         covisible window of the LAST frame's tracked points (:949,
@@ -495,12 +532,25 @@ class Tracker:
         its rotation-consistency histogram)."""
         if self.last_frame is None:
             return frame, False
+        self._update_last_frame()
         t_pred = self.velocity @ self.last_frame.t_cw
+        # search radius th=7 stereo / 15 mono (`Tracking.cc:957-963`) — a
+        # wide window around an imperfect prediction admits consistent-WRONG
+        # matches on repetitive texture, and the robust pose GN then owns a
+        # local minimum away from the true pose (measured on the long-run
+        # fixture: 15 px admitted a 50-match wrong-pose basin)
+        radius = 7.0 if self.cfg.sensor in ("stereo", "rgbd") else 15.0
         new_frame, stats = self._run_stage(
             frame, self.last_frame.pt_idx, frame.pt_idx, t_pred,
-            radius=15.0, check_rotation=True, update_stats=False)
-        if stats[0] < 20:   # n_matched
-            return frame, False
+            radius=radius, check_rotation=True, update_stats=False)
+        if stats[0] < 20:   # n_matched — retry with a doubled window
+            # (reference `Tracking.cc:966-976`: "If few matches, uses a
+            # wider window search"); rescues fast motion / prediction error
+            new_frame, stats = self._run_stage(
+                frame, self.last_frame.pt_idx, frame.pt_idx, t_pred,
+                radius=2.0 * radius, check_rotation=True, update_stats=False)
+            if stats[0] < 20:
+                return frame, False
         return new_frame, int(stats[1]) >= 10
 
     def _track_reference_kf(self, frame: Frame):

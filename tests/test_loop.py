@@ -146,6 +146,10 @@ def _loop_map():
         kf_feat_valid=jnp.broadcast_to(jnp.asarray([True] * P + [False] * 4),
                                        (8, 64)),
         kf_feat_pt=jnp.asarray(np.stack(kf_pt)),
+        # point descriptors mirror the observations (production maintains
+        # these at spawn/update; compute_loop_sim3's group-projection gate
+        # matches query features against them)
+        pt_desc=st.pt_desc.at[:P].set(desc[:P]),
     )
     return st, pts
 

@@ -84,6 +84,10 @@ def build_revisit_state(rng):
         pt_ref_kf=jnp.asarray(
             [0] * P + [5] * P + [-1] * (512 - 2 * P), jnp.int32
         ),
+        # point descriptors mirror their observations (production maintains
+        # these; the loop group-projection gate matches against them)
+        pt_desc=st.pt_desc.at[:P].set(jnp.asarray(desc0[:P]))
+        .at[P: 2 * P].set(jnp.asarray(kf_descs[5][:P])),
     )
     return st, drift
 

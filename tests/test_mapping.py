@@ -295,3 +295,75 @@ def test_nbv_reflection():
     # looks back toward the object: camera z axis ≈ −z world
     z_axis = np.asarray(nbv)[:3, 2]
     np.testing.assert_allclose(z_axis, [0, 0, -1], atol=1e-5)
+
+
+def test_cull_points_judges_recent_only():
+    """MapPointCulling parity (`LocalMapping.cc:222-250`): the found/visible
+    ratio and obs gates apply only while a point is RECENT (age < 3 in
+    monotonic keyframe ids).  A mature drifted point that has become
+    visible-but-unmatched on a revisit must NOT be culled — the regression
+    here ate the outbound map on the loop test's return leg."""
+    from dsp_slam_rgbd_tpu.mapping import local_mapping as lm
+
+    st = map_state.empty(max_kf=4, max_feat=8, max_pts=8, max_obj=2)
+    st = st._replace(
+        kf_valid=jnp.asarray([True, True, True, False]),
+        kf_feat_valid=jnp.ones((4, 8), bool),
+        # point 0: mature (first id 0), bad ratio -> must survive
+        # point 1: recent (first id 9), bad ratio -> culled
+        # point 2: recent, good ratio, 2 stereo obs -> survives (obs gate)
+        # point 3: recent at age 2, single mono obs -> culled (obs gate)
+        pt_valid=jnp.asarray([True, True, True, True] + [False] * 4),
+        pt_first_kf=jnp.asarray([0, 9, 8, 8] + [-1] * 4, jnp.int32),
+        pt_visible=jnp.asarray([100, 100, 4, 4] + [1] * 4, jnp.int32),
+        pt_found=jnp.asarray([2, 2, 4, 4] + [1] * 4, jnp.int32),
+        kf_feat_pt=jnp.asarray(
+            [[0, 1, 2, 3, -1, -1, -1, -1],
+             [2, -1, -1, -1, -1, -1, -1, -1],
+             [-1, -1, -1, -1, -1, -1, -1, -1],
+             [-1, -1, -1, -1, -1, -1, -1, -1]], jnp.int32),
+        kf_ur=jnp.where(jnp.arange(8)[None, :] < 4, 5.0, -1.0)
+        * jnp.ones((4, 1)),
+    )
+    out = lm.cull_points(st, current_id=10, min_obs_after=4)
+    keep = np.asarray(out.pt_valid)
+    assert keep[0], "mature point must not be ratio-culled"
+    assert not keep[1], "recent bad-ratio point must die"
+    assert keep[2], "2 stereo obs = weighted 4 passes the stereo gate"
+    assert not keep[3], "single obs at age 2 dies"
+    # dead points are detached from the KF feature tables
+    assert int(np.asarray(out.kf_feat_pt)[0, 1]) == -1
+
+
+def test_spawn_resets_recycled_counters():
+    """A point spawned into a recycled slot must start with fresh
+    found/visible counters, not inherit the evicted point's ratio (which
+    insta-culled every respawn once slot reuse began)."""
+    from dsp_slam_rgbd_tpu.frontend.orb import Features
+    from dsp_slam_rgbd_tpu.mapping import local_mapping as lm
+    from dsp_slam_rgbd_tpu.tracking.tracker import Frame
+
+    cam = cam_ops.Intrinsics(fx=100.0, fy=100.0, cx=32.0, cy=32.0, bf=50.0)
+    st = map_state.empty(max_kf=4, max_feat=8, max_pts=8, max_obj=2)
+    # slot 0 is FREE but carries stale counters from a culled point
+    st = st._replace(
+        pt_visible=st.pt_visible.at[0].set(100),
+        pt_found=st.pt_found.at[0].set(2),
+    )
+    F = 8
+    feats = Features(
+        xy=jnp.tile(jnp.asarray([[32.0, 32.0]]), (F, 1)),
+        level=jnp.zeros(F, jnp.int32),
+        angle=jnp.zeros(F),
+        score=jnp.ones(F),
+        desc=jnp.zeros((F, 8), jnp.uint32),
+        valid=jnp.asarray([True] + [False] * (F - 1)),
+    )
+    frame = Frame(feats, ur=jnp.full(F, 10.0), depth=jnp.full(F, 5.0),
+                  t_cw=jnp.eye(4), pt_idx=jnp.full(F, -1, jnp.int32),
+                  timestamp=0.0)
+    out = lm.spawn_depth_points(st, cam, 0, frame, th_depth=10.0,
+                                first_id=7)
+    assert bool(out.pt_valid[0])
+    assert int(out.pt_visible[0]) == 1 and int(out.pt_found[0]) == 1
+    assert int(out.pt_first_kf[0]) == 7

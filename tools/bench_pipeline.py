@@ -46,12 +46,9 @@ def render(texture, cam_x, tex_scale=40.0):
     )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=36)
-    ap.add_argument("--warmup", type=int, default=6)
-    args = ap.parse_args()
-
+def run(frames: int = 36, warmup: int = 6) -> dict:
+    """Run the whole-pipeline FPS benchmark; returns the result dict
+    (callable from bench.py so the driver records pipeline_fps per round)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -87,10 +84,10 @@ def main():
     rng = np.random.default_rng(0)
     texture = gaussian_filter(rng.uniform(0, 255, (4096, 4096)), 1.2).astype(
         np.float32)
-    frames = []
-    for i in range(args.frames):
+    seq = []
+    for i in range(frames):
         x = i * STEP
-        frames.append((render(texture, x), render(texture, x + BASELINE)))
+        seq.append((render(texture, x), render(texture, x + BASELINE)))
 
     det_t_co_w = np.eye(4, dtype=np.float32)
     det_t_co_w[:3, 3] = [2.0, 0.5, 14.0]
@@ -112,7 +109,7 @@ def main():
     t_frames = []
     kf_before = 0
     t_track, t_kf = 0.0, 0.0
-    for i, (il, ir) in enumerate(frames):
+    for i, (il, ir) in enumerate(seq):
         t0 = time.perf_counter()
         out = system.track_stereo(il, ir, timestamp=0.1 * i,
                                   detections=dets_for(i))
@@ -121,9 +118,9 @@ def main():
         np.asarray(out["frame"].t_cw if out.get("frame") is not None
                    else system.state.kf_pose[0])
         dt = time.perf_counter() - t0
-        if i >= args.warmup:
+        if i >= warmup:
             t_frames.append((dt, out["new_kf"]))
-        if i == args.warmup - 1:
+        if i == warmup - 1:
             print("  timed section starts", flush=True)
 
     total = sum(d for d, _ in t_frames)
@@ -145,7 +142,15 @@ def main():
         "n_kf_total": system.n_kf,
         "objects": int(np.asarray(system.state.obj_valid).sum()),
     }
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=36)
+    ap.add_argument("--warmup", type=int, default=6)
+    args = ap.parse_args()
+    print(json.dumps(run(args.frames, args.warmup)))
 
 
 if __name__ == "__main__":
