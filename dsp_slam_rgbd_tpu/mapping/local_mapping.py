@@ -73,10 +73,11 @@ def _pad_idx(a: np.ndarray, cap: int, drop: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cam", "max_new"))
-def _spawn_depth_device(state: ms.MapState, cam, kf_slot, frame, slots,
+def _spawn_depth_device(state: ms.MapState, cam, kf_slot, frame,
                         th_depth, first_id, max_new: int):
     P = state.pt_pos.shape[0]
     F = state.kf_feat_pt.shape[1]
+    slots = ms.free_slots_device(state.pt_valid, max_new)
     has = (frame.depth > 0) & (frame.depth < th_depth) \
         & frame.feats.valid & (frame.pt_idx < 0)
     # closest-first, capped at max_new (the reference sorts by depth and
@@ -124,16 +125,14 @@ def spawn_depth_points(state: ms.MapState, cam, kf_slot: int, frame,
     first_id: MONOTONIC keyframe id stamped as the points' creation age for
     cull_points (the reference's mnFirstKFid).  KF slot indices are recycled
     after culling, so a slot index is not a usable age."""
-    slots = ms.alloc_slots(state.pt_valid, max_new)
     if first_id is None:
         first_id = kf_slot
-    return _spawn_depth_device(state, cam, kf_slot, frame,
-                               jnp.asarray(slots), th_depth,
+    return _spawn_depth_device(state, cam, kf_slot, frame, th_depth,
                                jnp.int32(first_id), max_new)
 
 
 @partial(jax.jit, static_argnames=("cam", "max_new", "n_neighbors"))
-def _triangulate_device(state: ms.MapState, cam, kf_slot, slots, first_id,
+def _triangulate_device(state: ms.MapState, cam, kf_slot, first_id,
                         max_new: int, n_neighbors: int):
     """Two-view triangulation against the best covisible neighbors as ONE
     fused program: a `lax.scan` over the neighbor axis replaces the host
@@ -143,11 +142,11 @@ def _triangulate_device(state: ms.MapState, cam, kf_slot, slots, first_id,
     per-neighbor loop; a carried cursor walks the pre-allocated point
     slots so earlier neighbors never lose their claims.
 
-    slots: (max_new,) pre-allocated free point slots (−1 past capacity).
     Returns (new state, n_created)."""
     K = state.kf_valid.shape[0]
     P = state.pt_pos.shape[0]
     F = state.kf_feat_pt.shape[1]
+    slots = ms.free_slots_device(state.pt_valid, max_new)
 
     # neighbor order by covisibility weight (GetBestCovisibilityKeyFrames)
     row = covis.covisibility_row(state, kf_slot)
@@ -243,11 +242,9 @@ def triangulate_new_points(state: ms.MapState, cam, kf_slot: int,
 
     first_id: monotonic keyframe id for point-culling age (see
     spawn_depth_points)."""
-    slots = ms.alloc_slots(state.pt_valid, max_new)
     if first_id is None:
         first_id = kf_slot
     new_state, _ = _triangulate_device(state, cam, kf_slot,
-                                       jnp.asarray(slots),
                                        jnp.int32(first_id), max_new,
                                        n_neighbors)
     return new_state

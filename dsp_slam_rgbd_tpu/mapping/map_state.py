@@ -128,6 +128,20 @@ def alloc_slots(valid_mask: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def free_slots_device(valid_mask: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Device-side alloc_slots: first n free slot indices, −1 padded.
+
+    `lax.top_k` over the free mask — ties broken by lowest index, so free
+    slots come out in ascending order like the host version.  Keeping the
+    allocation on device removes a per-call (capacity,)-bool fetch over
+    the remote-TPU tunnel (one blocking RTT each in the keyframe stage)."""
+    P = valid_mask.shape[0]
+    k = min(n, P)
+    vals, idx = jax.lax.top_k(jnp.where(valid_mask, 0, 1), k)
+    out = jnp.where(vals > 0, idx, -1).astype(jnp.int32)
+    return jnp.pad(out, (0, n - k), constant_values=-1)
+
+
 def membership_matrix(state: MapState) -> jnp.ndarray:
     """(K, P) bool: KF k observes point p.  Built by scatter from the
     per-KF feature→point table; the base for covisibility (M @ Mᵀ).

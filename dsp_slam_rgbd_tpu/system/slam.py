@@ -45,6 +45,11 @@ class SLAMSystem:
         self.consistency = loop_closing.ConsistencyState()
         self.n_kf = 0
         self.loop_closures = 0
+        # host mirror of kf_valid: keyframe slots are allocated and culled
+        # under host control, so the mirror never goes stale — it saves one
+        # blocking device fetch per keyframe (alloc) and per tracked frame
+        # (the tracker's window fallback), each a full tunnel RTT
+        self._kf_valid_host = np.zeros(cfg.map.max_kf, bool)
         # loop-closure cooldown (reference `mLastLoopKFid + 10` gate,
         # LoopClosing.cc:DetectLoop): no new loop until 10 keyframes after
         # the last — a second closure on a half-corrected map (the staged
@@ -102,6 +107,7 @@ class SLAMSystem:
         self.n_kf = 0
         self._gba_iters_left = 0
         self._oobs_cursor = {}  # per-object ring cursors
+        self._kf_valid_host = np.zeros(cfg.map.max_kf, bool)
 
     # ------------------------------------------------------------------
     def track_stereo(self, img_left, img_right, timestamp=0.0,
@@ -162,20 +168,28 @@ class SLAMSystem:
         return out
 
     # ------------------------------------------------------------------
+    def _mark_kf(self, slot: int, valid: bool):
+        """Keep the kf_valid host mirror + the tracker's memo in sync (all
+        kf_valid mutations are host-driven: insert + cull)."""
+        self._kf_valid_host[slot] = valid
+        self.tracker._kv_memo = (self.state.kf_valid, self._kf_valid_host)
+
     def _insert_mono_init(self):
         """Create the two initial KFs + triangulated points (reference
         `CreateInitialMapMonocular`)."""
         r = self.tracker.init_result
         ref, cur, m = r["ref_frame"], r["cur_frame"], r["matches"]
         good = np.asarray(r["good"] & m.valid)
-        k0 = int(ms.alloc_slots(self.state.kf_valid, 1)[0])
+        k0 = int(ms.alloc_slots(self._kf_valid_host, 1)[0])
         self.state = lm.insert_keyframe(
             self.state, ref._replace(t_cw=jnp.eye(4)), k0, 0
         )
-        k1 = int(ms.alloc_slots(self.state.kf_valid, 1)[0])
+        self._mark_kf(k0, True)
+        k1 = int(ms.alloc_slots(self._kf_valid_host, 1)[0])
         self.state = lm.insert_keyframe(
             self.state, cur._replace(t_cw=r["t21"]), k1, 1
         )
+        self._mark_kf(k1, True)
         pts = np.asarray(r["pts"])
         chosen = np.nonzero(good)[0]
         slots = ms.alloc_slots(self.state.pt_valid, len(chosen))
@@ -201,7 +215,7 @@ class SLAMSystem:
         self._update_bow(k1)
 
     def _insert_keyframe(self, frame, detections):
-        slot = ms.alloc_slots(self.state.kf_valid, 1)[0]
+        slot = ms.alloc_slots(self._kf_valid_host, 1)[0]
         if slot < 0:
             # keyframe capacity exhausted: observable, never silent — the
             # run continues in a degraded tracking-only mode for this frame
@@ -222,6 +236,7 @@ class SLAMSystem:
         kid = self.n_kf
         self.state = lm.insert_keyframe(self.state, frame, slot,
                                         self.tracker.frame_id)
+        self._mark_kf(slot, True)
         if self.cfg.sensor in ("stereo", "rgbd"):
             self.state = lm.spawn_depth_points(
                 self.state, self.cfg.cam, slot, frame,
@@ -246,6 +261,7 @@ class SLAMSystem:
                                       self.cfg.map.local_window)
         self.state, culled = lm.cull_keyframes(self.state, slot)
         for c in culled:
+            self._mark_kf(c, False)
             self._on_keyframe_culled(c, fallback=slot)
         self.tracker.ref_kf = slot
         self.tracker.last_kf_frame_id = self.tracker.frame_id
@@ -308,14 +324,18 @@ class SLAMSystem:
 
         for o in np.nonzero(assoc >= 0)[0]:
             det = detections[int(assoc[o])]
-            # pose-only refinement with the existing code
+            # pose-only refinement with the existing code — everything
+            # stays device-resident (scale/pose/velocity as traced values):
+            # the old host round trips (`float(obj_scale)`, `np.asarray`
+            # of the refined pose) cost 2 tunnel RTTs per tracked object
+            # per keyframe
             t_co_ref, loss = recon_opt.estimate_pose_cam_obj(
                 self.decoder_params, self.decoder_spec, self.cfg.recon,
-                jnp.asarray(det.t_co), float(self.state.obj_scale[o]),
+                jnp.asarray(det.t_co), self.state.obj_scale[o],
                 jnp.asarray(det.pts), jnp.asarray(det.pts_mask),
                 self.state.obj_code[o],
             )
-            self._add_object_obs(int(o), kf_slot, np.asarray(t_co_ref))
+            self._add_object_obs(int(o), kf_slot, t_co_ref)
             t_wo_new = lie.inv_se3(t_cw) @ t_co_ref
             prev_c = self.state.obj_pose[o, :3, 3]
             v, dyn, _ = obj_mod.update_dynamics(
@@ -394,7 +414,7 @@ class SLAMSystem:
         across the whole loop boundary."""
         if self.db is not None:
             self.db = self.db.remove(culled)
-        kv = np.asarray(self.state.kf_valid)
+        kv = self._kf_valid_host
         fids = np.asarray(self.state.kf_frame_id)
         culled_fid = int(fids[culled])
         alive = np.nonzero(kv)[0]

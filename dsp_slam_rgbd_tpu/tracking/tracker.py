@@ -160,13 +160,11 @@ def _gather_local_points(state: ms.MapState, kf_window: np.ndarray):
     return _gather_local_points_device(state, jnp.asarray(kf_mask_np))
 
 
-@partial(jax.jit, static_argnames=("cam", "n_keep", "check_rotation",
-                                   "stereo", "update_stats"))
-def _track_stage(cam, state: ms.MapState, vote_pt_idx, base_pt_idx, t_init,
-                 feat_xy, feat_desc, feat_level, feat_valid, feat_angle,
-                 ur, depth, last_pt_idx, last_angles, radius, th_depth_m,
-                 n_keep: int, check_rotation: bool, stereo: bool,
-                 update_stats: bool):
+def _track_stage_core(cam, state: ms.MapState, vote_pt_idx, base_pt_idx,
+                      t_init, feat_xy, feat_desc, feat_level, feat_valid,
+                      feat_angle, ur, depth, last_pt_idx, last_angles,
+                      radius, th_depth_m, n_keep: int, check_rotation: bool,
+                      stereo: bool, update_stats: bool):
     """ONE fused device program for a whole tracking stage: local-KF window
     retrieval (`UpdateLocalKeyFrames`), local-point gather, projective
     matching (`SearchByProjection`) and robust pose GN run as a single
@@ -266,6 +264,59 @@ def _track_stage(cam, state: ms.MapState, vote_pt_idx, base_pt_idx, t_init,
     return res.t_cw, pt_final, stats, vis, fnd
 
 
+_track_stage = partial(jax.jit, static_argnames=(
+    "cam", "n_keep", "check_rotation", "stereo", "update_stats"))(
+    _track_stage_core)
+
+
+@partial(jax.jit, static_argnames=("cam", "n_keep", "stereo"))
+def _track_frame_fused(cam, state: ms.MapState, t_last, velocity,
+                       feat_xy, feat_desc, feat_level, feat_valid,
+                       feat_angle, ur, depth, last_pt_idx, last_angles,
+                       radius, th_depth_m, n_keep: int, stereo: bool):
+    """The WHOLE per-frame tracking pipeline as ONE device program:
+    motion-model stage (`TrackWithMotionModel`, incl. the doubled-window
+    retry of `Tracking.cc:966-976` as a `lax.cond`) chained into the
+    local-map stage (`TrackLocalMap`) when it succeeds.  The host pays a
+    single dispatch + a single 13-int stats fetch per frame — the previous
+    two-stage split cost two round trips over the remote-TPU tunnel
+    (~30-50 ms each), which capped end-to-end FPS regardless of kernel
+    speed (tools/bench_pipeline.py).
+
+    Returns (t_cw, pt_idx, stats, pt_visible', pt_found') with
+    stats = [s1(6) | s2(6) | mm_ok]; s2 = −1s when the motion-model stage
+    failed (host falls back to reference-KF tracking / relocalization)."""
+    F = feat_xy.shape[0]
+    base = jnp.full(F, -1, jnp.int32)
+    t_pred = velocity @ t_last
+
+    def run(r, vote, base_idx, t0, rot: bool, upd: bool):
+        return _track_stage_core(
+            cam, state, vote, base_idx, t0, feat_xy, feat_desc, feat_level,
+            feat_valid, feat_angle, ur, depth, last_pt_idx, last_angles,
+            r, th_depth_m, n_keep, rot, stereo, upd)
+
+    t1, pt1, s1, _, _ = run(radius, last_pt_idx, base, t_pred, True, False)
+    t1, pt1, s1 = jax.lax.cond(
+        s1[0] < 20,
+        lambda _: run(2.0 * radius, last_pt_idx, base, t_pred, True,
+                      False)[:3],
+        lambda _: (t1, pt1, s1), None)
+    mm_ok = (s1[0] >= 20) & (s1[1] >= 10)
+
+    def do_local_map(_):
+        t2, pt2, s2, vis, fnd = run(4.0, pt1, pt1, t1, False, True)
+        return t2, pt2, s2, vis, fnd
+
+    def skip(_):
+        return (t1, pt1, jnp.full(6, -1, jnp.int32), state.pt_visible,
+                state.pt_found)
+
+    t2, pt2, s2, vis, fnd = jax.lax.cond(mm_ok, do_local_map, skip, None)
+    stats = jnp.concatenate([s1, s2, mm_ok.astype(jnp.int32)[None]])
+    return t2, pt2, stats, vis, fnd
+
+
 class Tracker:
     """Host-driven tracking state machine."""
 
@@ -362,18 +413,22 @@ class Tracker:
             return out
 
         # --- normal tracking ---
+        # fast path: motion-model + local-map as ONE fused dispatch with a
+        # single stats fetch; the (rare) failure branches fall back to the
+        # eager reference-KF / relocalization stages below
         ok = False
-        if self.status == "OK":
-            frame, ok = self._track_motion_model(frame)
-            if not ok:
+        fused_done = False
+        if self.status == "OK" and self.last_frame is not None:
+            frame, ok, fused_done = self._track_frame_fast(frame)
+        if not fused_done:
+            if self.status == "OK" and not ok:
                 frame, ok = self._track_reference_kf(frame)
-        if self.status == "LOST" or not ok:
-            frame, ok = self._relocalize(frame)
-
-        if ok:
-            frame, n_tracked = self._track_local_map(frame)
-            ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
-            self.n_inliers_last = n_tracked
+            if self.status == "LOST" or not ok:
+                frame, ok = self._relocalize(frame)
+            if ok:
+                frame, n_tracked = self._track_local_map(frame)
+                ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
+                self.n_inliers_last = n_tracked
 
         was_lost = self.status == "LOST"
         self.status = "OK" if ok else "LOST"
@@ -524,6 +579,42 @@ class Tracker:
         # after a large correction the safest model is identity (the
         # reference rebuilds it over the next frames the same way)
         self.velocity = jnp.eye(4)
+
+    def _track_frame_fast(self, frame: Frame):
+        """Fused motion-model + local-map tracking: one dispatch, one
+        13-int stats fetch (see `_track_frame_fused`).  Returns
+        (frame, ok, fused_done); fused_done=False means the motion-model
+        stage failed and the host must run the fallback chain."""
+        self._update_last_frame()
+        lf = self.last_frame
+        radius = 7.0 if self.cfg.sensor in ("stereo", "rgbd") else 15.0
+        th_depth_m = self.cfg.cam.bf / max(self.cfg.cam.fx, 1e-9) \
+            * self.cfg.tracking.th_depth
+        t_cw, pt_idx, stats, vis, fnd = _track_frame_fused(
+            self.cfg.cam, self.state, lf.t_cw, self.velocity,
+            frame.feats.xy, frame.feats.desc, frame.feats.level,
+            frame.feats.valid, frame.feats.angle, frame.ur, frame.depth,
+            lf.pt_idx, lf.feats.angle, radius, th_depth_m,
+            n_keep=self.cfg.map.local_window,
+            stereo=self.cfg.sensor in ("stereo", "rgbd"))
+        stats = np.asarray(stats)  # the single per-frame host sync
+        # ref KF = top covisibility voter, stage-2's when it ran, else
+        # stage-1's — the split-stage path updated it after EVERY stage,
+        # and the reference-KF fallback depends on it pointing at the
+        # voted (possibly loop-side) keyframe
+        if stats[8] >= 0:
+            self.ref_kf = int(stats[8])
+        elif stats[2] >= 0:
+            self.ref_kf = int(stats[2])
+        if stats[12] == 0:  # motion-model stage failed → fallback chain
+            self._stage_stats = stats[0:6]
+            return frame, False, False
+        self.state = self.state._replace(pt_visible=vis, pt_found=fnd)
+        self._stage_stats = stats[6:12]
+        n_tracked = int(stats[7])
+        self.n_inliers_last = n_tracked
+        ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
+        return frame._replace(t_cw=t_cw, pt_idx=pt_idx), ok, True
 
     def _track_motion_model(self, frame: Frame):
         """Constant-velocity prediction + projective match against the

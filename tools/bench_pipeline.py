@@ -105,23 +105,35 @@ def run(frames: int = 36, warmup: int = 6) -> dict:
         return [make_detection(t_co, pts=pts_cam, rays=rays, depth=depths,
                                n_fg=len(rays))]
 
-    print("warmup (compiles)...", flush=True)
+    # warmup = one FULL pass over the sequence: a growing SLAM map walks the
+    # BA capacity-bucket ladder, and each rung compiles once per process —
+    # on a real (hours-long) sequence those compiles amortize to noise, but
+    # in a 30-frame benchmark they dominate.  The timed pass measures the
+    # steady state: same sequence, fresh map, every program already built.
+    print("warmup pass (compiles all programs)...", flush=True)
+    for i, (il, ir) in enumerate(seq):
+        out = system.track_stereo(il, ir, timestamp=0.1 * i,
+                                  detections=dets_for(i))
+    np.asarray(system.state.kf_pose[0])  # drain the dispatch queue
+    system.reset()
+
+    print("timed pass...", flush=True)
     t_frames = []
-    kf_before = 0
-    t_track, t_kf = 0.0, 0.0
     for i, (il, ir) in enumerate(seq):
         t0 = time.perf_counter()
         out = system.track_stereo(il, ir, timestamp=0.1 * i,
                                   detections=dets_for(i))
-        # force completion: fetch the pose (single host sync per frame,
-        # block_until_ready does not sync through the axon tunnel)
-        np.asarray(out["frame"].t_cw if out.get("frame") is not None
-                   else system.state.kf_pose[0])
+        # per-frame host sync: the tracker's own fused-stage stats fetch
+        # (once tracking is initialized); force one explicitly otherwise
+        if system.tracker._stage_stats is None:
+            np.asarray(out["frame"].t_cw if out.get("frame") is not None
+                       else system.state.kf_pose[0])
         dt = time.perf_counter() - t0
-        if i >= warmup:
-            t_frames.append((dt, out["new_kf"]))
-        if i == warmup - 1:
-            print("  timed section starts", flush=True)
+        t_frames.append((dt, out["new_kf"]))
+    t0 = time.perf_counter()
+    np.asarray(system.state.kf_pose[0])  # drain trailing async KF work
+    t_frames[-1] = (t_frames[-1][0] + time.perf_counter() - t0,
+                    t_frames[-1][1])
 
     total = sum(d for d, _ in t_frames)
     n = len(t_frames)
