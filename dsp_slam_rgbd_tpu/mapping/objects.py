@@ -18,12 +18,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dsp_slam_rgbd_tpu.ops import lie
 
 
+@jax.jit
 def associate_detections(obj_centers_w, obj_valid, obj_dynamic, obj_velocity,
                          det_t_co, det_valid, t_cw, dt: float = 1.0,
                          gate: float = 4.0):
@@ -140,6 +142,7 @@ def model_outliers(pts_w: jnp.ndarray, owned: jnp.ndarray, t_wo: jnp.ndarray,
     return owned & jnp.any(out, axis=-1)
 
 
+@jax.jit
 def update_dynamics(prev_center, new_center, dt, prev_velocity,
                     innovation_th: float = 0.3, alpha: float = 0.6):
     """Velocity filter + dynamic classification by innovation
@@ -171,6 +174,7 @@ def compute_nbv(obj_center_w, cam_center_w, standoff: float = None):
     return lie.rt_to_mat(R_wc, nbv_pos)  # T_wc of the suggested view
 
 
+@jax.jit
 def cull_objects(obj_valid, obj_n_obs, obj_last_kf, current_kf,
                  min_obs: int = 2, max_age: int = 20):
     """MapObjectCulling role (`LocalMapping_util.cc:29-82`): drop objects

@@ -21,7 +21,9 @@ from dsp_slam_rgbd_tpu.system.detections import ObjectDetection, make_detection
 def load_gray(path: str) -> np.ndarray:
     from PIL import Image
 
-    return np.asarray(Image.open(path).convert("L"), np.float32)
+    # keep uint8: host→device image transfers ship 1 byte/px (the tracker
+    # casts to f32 on device — Tracker._upload_image)
+    return np.asarray(Image.open(path).convert("L"), np.uint8)
 
 
 def load_depth_png(path: str, scale: float = 1.0 / 5000.0) -> np.ndarray:

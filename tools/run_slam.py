@@ -116,21 +116,29 @@ def main():
     n = len(seq)
     if args.max_frames:
         n = min(n, args.max_frames)
+
+    # disk read + host→device upload run on a background thread, one frame
+    # ahead of tracking (the data-loader stage: the transfer rides under
+    # the previous frame's device compute — system/prefetch.py)
+    from dsp_slam_rgbd_tpu.system.prefetch import ImagePrefetcher
+
+    def frames():
+        for i in range(n):
+            f = seq.frame(i)
+            yield f if isinstance(f, tuple) else (f,)
+
     times = []
-    for i in range(n):
+    for i, imgs in enumerate(ImagePrefetcher(frames(), depth=2)):
         t0 = time.perf_counter()
         dets = seq.detections(i) or None
         if args.sensor == "stereo":
-            img_l, img_r = seq.frame(i)
-            system.track_stereo(img_l, img_r, timestamp=i / cfg.tracking.fps,
+            system.track_stereo(*imgs, timestamp=i / cfg.tracking.fps,
                                 detections=dets)
         elif args.sensor == "rgbd":
-            img, dep = seq.frame(i)
-            system.track_rgbd(img, dep, timestamp=i / cfg.tracking.fps,
+            system.track_rgbd(*imgs, timestamp=i / cfg.tracking.fps,
                               detections=dets)
         else:
-            img = seq.frame(i)
-            system.track_mono(img, timestamp=i / cfg.tracking.fps,
+            system.track_mono(*imgs, timestamp=i / cfg.tracking.fps,
                               detections=dets)
         times.append(time.perf_counter() - t0)
         if i % 25 == 0:
