@@ -25,6 +25,14 @@ class TrackingConfig:
     max_frames_between_kf: int = 30 # defaults to fps
     min_tracked_for_ok: int = 30
     reloc_min_inliers: int = 50
+    # NeedNewKeyFrame close-point census (reference `bNeedToInsertClose`,
+    # Tracking.cc:1085-1100): insert when < close_tracked_th close points
+    # are tracked while > close_free_th close depth features are unclaimed.
+    # The reference constants (100/70) assume ~2000 features/frame — scale
+    # them with n_features or small-feature configs insert a keyframe
+    # nearly every frame and exhaust the keyframe pool.
+    close_tracked_th: int = 100
+    close_free_th: int = 70
 
 
 @dataclass(frozen=True)

@@ -55,7 +55,10 @@ def make_brief_pattern(seed: int = 7, n_bits: int = N_BITS, sigma: float = 6.2,
     return np.round(pts.reshape(n_bits, 4)).astype(np.float32)
 
 
-_PATTERN = jnp.asarray(make_brief_pattern())  # (256, 4) as (y1, x1, y2, x2)
+# (256, 4) as (y1, x1, y2, x2) — kept as NUMPY at module scope: jnp.asarray
+# here would initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize-before-first-use (jit closes over numpy fine)
+_PATTERN = make_brief_pattern()
 
 
 def gather_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

@@ -42,19 +42,33 @@ class ConsistencyState:
         self.groups: list[tuple[set, int]] = []  # (kf set, count)
         self.min_consistency = min_consistency
 
-    def update(self, candidate_groups: list[set]) -> list[int]:
+    def update(self, candidate_groups: list[set],
+               candidates: list[int] | None = None) -> list[int]:
         """Feed this keyframe's candidate groups (each a set of KF slots);
-        returns candidate KFs that reached the consistency threshold."""
+        returns candidate KFs that reached the consistency threshold.
+
+        candidates[i] names the retrieval candidate that produced group i —
+        ONLY that keyframe is promoted (the reference's
+        `mvpEnoughConsistentCandidates.push_back(pCandidateKF)`,
+        `LoopClosing.cc:170-220`).  Promoting the whole covisible group let
+        a RECENT keyframe riding in a legitimate candidate's group reach
+        the Sim3 stage, where it trivially matches the current view and
+        fires a spurious self-closure (observed on the long-run fixture:
+        a 'closure' against the immediately preceding keyframe whose
+        correction cascade then destabilized tracking)."""
         new_groups = []
         consistent = []
-        for grp in candidate_groups:
+        for i, grp in enumerate(candidate_groups):
             count = 0
             for prev, prev_count in self.groups:
                 if grp & prev:
                     count = max(count, prev_count + 1)
             new_groups.append((grp, count))
             if count >= self.min_consistency:
-                consistent.extend(sorted(grp))
+                if candidates is not None:
+                    consistent.append(int(candidates[i]))
+                else:
+                    consistent.extend(sorted(grp))
         self.groups = new_groups
         return consistent
 
@@ -319,7 +333,7 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
 
 def fuse_duplicate_points(state: ms.MapState, group_q: jnp.ndarray,
                           group_c: jnp.ndarray, radius: float = 0.15,
-                          max_hamming: int = 50) -> ms.MapState:
+                          max_hamming: int = 50):
     """Merge duplicate map points after a loop correction
     (`SearchAndFuse` role, `LoopClosing_util.cc:175`): points created on the
     revisit (seen by the query group) that coincide with older points from
@@ -327,6 +341,14 @@ def fuse_duplicate_points(state: ms.MapState, group_q: jnp.ndarray,
     replaced — observations repoint to the older landmark.
 
     group_q / group_c: (K,) bool masks of the two keyframe groups.
+
+    Returns (state, remap) with remap (P,) mapping every old slot to its
+    surviving slot (identity where nothing fused).  The caller MUST push
+    this through any frame-level point references it holds (the tracker's
+    last-frame associations) — the reference gets this for free from
+    `MapPoint::Replace` pointer redirection; here a stale slot reference
+    silently votes/matches a dead landmark, and the first post-closure
+    frame loses tracking exactly when the map just improved.
     """
     from dsp_slam_rgbd_tpu.frontend import matcher as matcher_mod
 
@@ -370,7 +392,7 @@ def fuse_duplicate_points(state: ms.MapState, group_q: jnp.ndarray,
     return state._replace(
         pt_valid=state.pt_valid & ~dies,
         kf_feat_pt=new_assoc,
-    )
+    ), remap
 
 
 def fuse_duplicate_objects(state: ms.MapState, dist_th: float = 1.5

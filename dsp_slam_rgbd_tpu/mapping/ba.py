@@ -31,7 +31,9 @@ from dsp_slam_rgbd_tpu.ops import lie
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 OBJ_INFO = 1.0e3                 # information of object edges (1e3·I6)
-OBJ_HUBER = jnp.sqrt(0.10 * 1.0e3)   # Huber δ (reference :80-84)
+OBJ_HUBER = (0.10 * 1.0e3) ** 0.5    # Huber δ (reference :80-84)
+# (plain float: a module-level jnp op would initialize the XLA backend
+# at import, breaking jax.distributed.initialize-before-first-use)
 OBJ_CHI2_PRUNE = 1.0e3           # object-edge prune threshold (:647-657)
 
 
@@ -253,19 +255,58 @@ def _gate(cam, prob: BAProblem):
     return prob._replace(obs_mask=obs_mask, oobs_mask=oobs_mask)
 
 
+def _robust_cost(cam, prob: BAProblem):
+    """Huber-robustified total cost — the LM acceptance metric."""
+    res, _, _, _ = _reproj_terms(cam, prob)
+    chi2 = jnp.sum(res * res, -1) * prob.obs_info
+    en = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    stereo = prob.obs_uv[:, 2] >= 0.0
+    delta = jnp.where(stereo, jnp.sqrt(CHI2_STEREO), jnp.sqrt(CHI2_MONO))
+    rho = jnp.where(en <= delta, chi2, 2.0 * delta * en - delta * delta)
+    live = prob.obs_mask & prob.pt_valid[prob.obs_pt] \
+        & prob.kf_valid[prob.obs_kf]
+    e_o, _, _ = _object_terms(prob)
+    chi2_o = OBJ_INFO * jnp.sum(e_o * e_o, -1)
+    en_o = jnp.sqrt(jnp.maximum(chi2_o, 1e-12))
+    rho_o = jnp.where(en_o <= OBJ_HUBER, chi2_o,
+                      2.0 * OBJ_HUBER * en_o - OBJ_HUBER * OBJ_HUBER)
+    live_o = prob.oobs_mask * prob.obj_valid[prob.oobs_obj] \
+        * prob.kf_valid[prob.oobs_kf]
+    return jnp.sum(jnp.where(live, rho, 0.0)) \
+        + jnp.sum(jnp.where(live_o, rho_o, 0.0))
+
+
 @partial(jax.jit, static_argnames=("cam", "stage1_iters", "stage2_iters"))
 def local_ba(cam, prob: BAProblem, stage1_iters: int = 5,
              stage2_iters: int = 10, damping: float = 1e-3) -> BAResult:
     """Two-stage robust BA (reference `LocalJointBundleAdjustment`
-    :309-771: 5 iters → gate outliers → 10 iters → final gate)."""
+    :309-771: 5 iters → gate outliers → 10 iters → final gate).
+
+    Each stage is TRUE Levenberg-Marquardt, not fixed-λ GN: a step is
+    accepted only if the Huber cost decreases (λ halves), otherwise the
+    state is kept and λ grows 8×.  Fixed-λ GN measurably DIVERGED on
+    weak-geometry windows (dense keyframe runs over near-coplanar
+    structure: the long-run circuit fixture blew the map up to 100 px
+    median reprojection in a single keyframe's BA) — g2o gets the same
+    protection from its own LM loop."""
 
     def run(prob, n):
         def body(i, carry):
-            p, c = carry
-            p2, cost = _assemble_and_solve(cam, p, damping)
-            return (p2, cost)
+            p, lam, cost_p = carry
+            cand, _ = _assemble_and_solve(cam, p, lam)
+            cost_c = _robust_cost(cam, cand)
+            accept = cost_c <= cost_p
+            p_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), cand, p)
+            lam_next = jnp.where(accept,
+                                 jnp.maximum(lam * 0.5, 1e-5),
+                                 jnp.minimum(lam * 8.0, 1e3))
+            return (p_next, lam_next, jnp.where(accept, cost_c, cost_p))
 
-        return jax.lax.fori_loop(0, n, body, (prob, jnp.asarray(0.0)))
+        cost0 = _robust_cost(cam, prob)
+        p, _, c = jax.lax.fori_loop(
+            0, n, body, (prob, jnp.asarray(damping), cost0))
+        return p, c
 
     prob, _ = run(prob, stage1_iters)
     prob = _gate(cam, prob)

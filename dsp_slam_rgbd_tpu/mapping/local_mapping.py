@@ -187,7 +187,9 @@ def _triangulate_device(state: ms.MapState, cam, kf_slot, first_id,
                           free_b, max_dist=matcher.TH_LOW, ratio=0.8,
                           mutual=True)
         uv2 = state.kf_xy[nb][jnp.maximum(m.idx, 0)]
-        pts = tri.triangulate_two_views(cam, cam, t1, t2, uv1, uv2)
+        # midpoint triangulation (closed-form 3x3, origin-shifted for f32):
+        # replaces the batched 4x4-eigh DLT that cost ~74 ms/keyframe
+        pts = tri.triangulate_two_views_fast(cam, cam, t1, t2, uv1, uv2)
         masks = tri.acceptance_masks(cam, cam, t1, t2, pts, uv1, uv2)
         good = m.valid & masks["parallax"] & masks["depth"] \
             & masks["reproj"] & jnp.all(jnp.isfinite(pts), axis=-1) & nb_ok
@@ -601,6 +603,19 @@ def _ba_assemble_device(state: ms.MapState, center_kf, max_kfs: int,
     pt_sel = jnp.maximum(pt_idx, 0)
     obj_sel = jnp.maximum(obj_idx, 0)
 
+    # actual counts from the FULL (untruncated) masks: callers that
+    # assembled with CACHED buckets verify post-hoc that nothing was
+    # truncated (the optimistic-bucket path overlaps this fetch with the
+    # solve dispatch).  pmask above is derived from the compacted [:N]
+    # observation view and would undercount on overflow — recount it.
+    tgt_full = jnp.where(sel, state.kf_feat_pt, P)
+    pmask_full = jnp.zeros(P + 1, bool).at[tgt_full.reshape(-1)].max(
+        sel.reshape(-1))[:P]
+    counts = jnp.stack([
+        jnp.sum(involved), jnp.sum(pmask_full), jnp.sum(sel),
+        jnp.sum(omask), jnp.sum(oobs_live),
+    ]).astype(jnp.int32)
+
     prob = ba.BAProblem(
         kf_pose=state.kf_pose[kf_sel],
         kf_fixed=frontier[kf_sel] | ~in_w[kf_sel] | (kf_idx < 0),
@@ -620,21 +635,45 @@ def _ba_assemble_device(state: ms.MapState, center_kf, max_kfs: int,
         oobs_t_co=oobs_t,
         oobs_mask=oo_ok,
     )
-    return prob, LocalIndex(kf_idx, pt_idx, obj_idx)
+    return prob, LocalIndex(kf_idx, pt_idx, obj_idx), counts
+
+
+# optimistic-bucket memo: (map shapes, window, global) → last bucket tuple.
+# Buckets grow monotonically (bounded by map capacities), so after warmup
+# the blocking counts fetch disappears from the keyframe stage — the
+# assembly's own counts output verifies the guess while the solve runs.
+_bucket_memo: dict = {}
+
+
+def _buckets_for(counts, K, P, F, O, Q):
+    n_kf, n_pt, n_obs, n_obj, n_oobs = (int(c) for c in counts)
+    Kl = min(_bucket(max(n_kf, 1)), K)
+    Pl = min(_bucket(max(n_pt, 1), minimum=64), P)
+    Ol = min(_bucket(max(n_obj, 1), minimum=4), O)
+    N = min(_bucket(max(n_obs, 1), minimum=256), K * F)
+    M = min(_bucket(max(n_oobs, 1), minimum=16), Q)
+    return Kl, Pl, Ol, N, M
+
+
+def _counts_fit(counts, buckets) -> bool:
+    n_kf, n_pt, n_obs, n_obj, n_oobs = (int(c) for c in counts)
+    Kl, Pl, Ol, N, M = buckets
+    return (n_kf <= Kl and n_pt <= Pl and n_obs <= N and n_obj <= Ol
+            and n_oobs <= M)
 
 
 def build_local_ba_problem(state: ms.MapState, center_kf: int,
-                           max_kfs: int, global_window: bool = False
-                           ) -> tuple[ba.BAProblem, LocalIndex]:
+                           max_kfs: int, global_window: bool = False):
     """Assemble a COMPACT fixed-capacity BA problem for the covisible window
     (the solve is `ba.local_ba` / `ba.global_ba_pcg`).  With
     `global_window=True` every valid keyframe and point enters (the
     GlobalJointBundleAdjustemnt problem).
 
     Capacities are bucketed powers of two derived from the ACTUAL window
-    contents — nothing is silently truncated.  The assembly itself runs on
-    device (`_ba_assemble_device`); the host only fetches a 5-int counts
-    vector to pick the buckets."""
+    contents — nothing is silently truncated: the exact counts are fetched
+    up front.  (The keyframe-stage hot path uses `_solve_ba_optimistic`
+    instead, which reuses memoized buckets and only re-assembles on a
+    verified overflow.)  Returns (prob, idx)."""
     K = state.kf_valid.shape[0]
     P = state.pt_pos.shape[0]
     F = state.kf_feat_pt.shape[1]
@@ -642,15 +681,51 @@ def build_local_ba_problem(state: ms.MapState, center_kf: int,
     Q = state.oobs_valid.shape[0]
     counts = np.asarray(_ba_counts_device(state, center_kf, max_kfs,
                                           global_window))
-    n_kf, n_pt, n_obs, n_obj, n_oobs = (int(c) for c in counts)
-    # buckets never exceed the map capacities (tiny test maps)
-    Kl = min(_bucket(max(n_kf, 1)), K)
-    Pl = min(_bucket(max(n_pt, 1), minimum=64), P)
-    Ol = min(_bucket(max(n_obj, 1), minimum=4), O)
-    N = min(_bucket(max(n_obs, 1), minimum=256), K * F)
-    M = min(_bucket(max(n_oobs, 1), minimum=16), Q)
-    return _ba_assemble_device(state, center_kf, max_kfs, global_window,
-                               Kl, Pl, Ol, N, M)
+    buckets = _buckets_for(counts, K, P, F, O, Q)
+    _bucket_memo[(K, P, F, O, Q, max_kfs, global_window)] = buckets
+    prob, idx, _ = _ba_assemble_device(state, center_kf, max_kfs,
+                                       global_window, *buckets)
+    return prob, idx
+
+
+def _solve_ba_optimistic(state: ms.MapState, cam, center_kf: int,
+                         max_kfs: int, global_window: bool,
+                         solve_fn) -> ms.MapState:
+    """Assemble + solve with MEMOIZED capacity buckets: the counts check
+    rides the same device program and its fetch overlaps the (already
+    dispatched) solve — the per-keyframe blocking counts round trip of the
+    previous design disappears.  On a verified overflow (counts exceed the
+    guess) the problem re-assembles with grown buckets and re-solves from
+    the pre-BA state; buckets grow monotonically so this is rare."""
+    K = state.kf_valid.shape[0]
+    P = state.pt_pos.shape[0]
+    F = state.kf_feat_pt.shape[1]
+    O = state.obj_valid.shape[0]
+    Q = state.oobs_valid.shape[0]
+    key = (K, P, F, O, Q, max_kfs, global_window)
+    buckets = _bucket_memo.get(key)
+    if buckets is None:
+        counts = np.asarray(_ba_counts_device(state, center_kf, max_kfs,
+                                              global_window))
+        buckets = _buckets_for(counts, K, P, F, O, Q)
+        _bucket_memo[key] = buckets
+
+    prob, idx, counts_dev = _ba_assemble_device(
+        state, center_kf, max_kfs, global_window, *buckets)
+    res = solve_fn(prob)                      # dispatched before the fetch
+    new_state = apply_ba_result(state, idx, res)
+    counts = np.asarray(counts_dev)           # overlaps the solve compute
+    if _counts_fit(counts, buckets):
+        return new_state
+    # overflow: grow buckets (grow-only keeps the jit cache bounded) and
+    # redo from the PRE-BA state — the truncated result is discarded
+    grown = tuple(max(a, b) for a, b in
+                  zip(buckets, _buckets_for(counts, K, P, F, O, Q)))
+    _bucket_memo[key] = grown
+    prob, idx, _ = _ba_assemble_device(state, center_kf, max_kfs,
+                                       global_window, *grown)
+    res = solve_fn(prob)
+    return apply_ba_result(state, idx, res)
 
 
 @jax.jit
@@ -664,18 +739,22 @@ def apply_ba_result(state: ms.MapState, idx: LocalIndex,
     kf_tgt = jnp.where(idx.kf_idx >= 0, idx.kf_idx, K)
     pt_tgt = jnp.where(idx.pt_idx >= 0, idx.pt_idx, P)
     obj_tgt = jnp.where(idx.obj_idx >= 0, idx.obj_idx, O)
+    # SO(3) re-projection on the way back into the map: BA's f32 exp
+    # compositions seed ~1e-3 orthonormality defects that the tracker's
+    # velocity chain amplifies exponentially (lie.orthonormalize_so3)
     return state._replace(
-        kf_pose=state.kf_pose.at[kf_tgt].set(res.kf_pose, mode="drop"),
+        kf_pose=state.kf_pose.at[kf_tgt].set(
+            lie.orthonormalize_se3(res.kf_pose), mode="drop"),
         pt_pos=state.pt_pos.at[pt_tgt].set(res.pts, mode="drop"),
-        obj_pose=state.obj_pose.at[obj_tgt].set(res.obj_pose, mode="drop"),
+        obj_pose=state.obj_pose.at[obj_tgt].set(
+            lie.orthonormalize_se3(res.obj_pose), mode="drop"),
     )
 
 
 def local_ba_step(state: ms.MapState, cam, center_kf: int,
                   max_kfs: int = 10) -> ms.MapState:
-    prob, idx = build_local_ba_problem(state, center_kf, max_kfs)
-    res = ba.local_ba(cam, prob)
-    return apply_ba_result(state, idx, res)
+    return _solve_ba_optimistic(state, cam, center_kf, max_kfs, False,
+                                lambda prob: ba.local_ba(cam, prob))
 
 
 def global_ba_step(state: ms.MapState, cam, n_iters: int = 10,
@@ -683,10 +762,10 @@ def global_ba_step(state: ms.MapState, cam, n_iters: int = 10,
     """Global joint BA over the whole map.  Small maps take the dense Schur
     path; past `dense_limit` pose blocks the matrix-free PCG path runs (the
     (B·6)² reduced system is never materialized — KITTI-00 scale)."""
-    prob, idx = build_local_ba_problem(state, 0, 0, global_window=True)
-    B = prob.kf_pose.shape[0] + prob.obj_pose.shape[0]
-    if B <= dense_limit:
-        res = ba.global_ba(cam, prob, n_iters=n_iters)
-    else:
-        res = ba.global_ba_pcg(cam, prob, n_iters=n_iters)
-    return apply_ba_result(state, idx, res)
+    def solve(prob):
+        B = prob.kf_pose.shape[0] + prob.obj_pose.shape[0]
+        if B <= dense_limit:
+            return ba.global_ba(cam, prob, n_iters=n_iters)
+        return ba.global_ba_pcg(cam, prob, n_iters=n_iters)
+
+    return _solve_ba_optimistic(state, cam, 0, 0, True, solve)

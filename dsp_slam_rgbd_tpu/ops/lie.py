@@ -340,3 +340,28 @@ def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     q = jnp.take_along_axis(cand, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
     # canonical sign: w >= 0
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def orthonormalize_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """Project a near-rotation back onto SO(3) with two Newton iterations
+    of the symmetric orthogonalization R ← R·(3I − RᵀR)/2 (quadratic
+    convergence for ‖RᵀR − I‖ < 1; pure matmuls, batch-friendly).
+
+    Pose chains of the form T_t · inv_se3(T_{t−1}) AMPLIFY orthonormality
+    error multiplicatively: inv_se3 uses the transpose-inverse, which is
+    only exact on SO(3), so an ε defect becomes ~2ε per frame — measured
+    doubling per frame on the long-run fixture until tracking collapsed
+    (the f32 BA/GN compositions seed ε ≈ 1e-3).  Every producer of a pose
+    that re-enters such a chain must re-orthonormalize."""
+    eye = jnp.eye(3, dtype=R.dtype)
+    for _ in range(2):
+        RtR = jnp.einsum("...ji,...jk->...ik", R, R)
+        R = 0.5 * jnp.einsum("...ij,...jk->...ik", R, 3.0 * eye - RtR)
+    return R
+
+
+def orthonormalize_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """Re-project the rotation block of (…, 4, 4) SE(3) matrices onto
+    SO(3) (see orthonormalize_so3); translation untouched."""
+    R = orthonormalize_so3(T[..., :3, :3])
+    return T.at[..., :3, :3].set(R)

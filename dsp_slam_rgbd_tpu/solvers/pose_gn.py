@@ -104,4 +104,8 @@ def optimize_pose(cam, t_cw0, pts_w, obs, inv_sigma2, valid,
     init = (jnp.asarray(t_cw0, jnp.float32), valid.astype(jnp.float32))
     (t_cw, inl), _ = jax.lax.scan(gn_round, init, None, length=n_rounds)
     inliers = inl > 0.5
+    # SO(3) re-projection: the exp-compose chain leaves an O(eps_f32)
+    # orthonormality defect that downstream transpose-inverses AMPLIFY
+    # (see lie.orthonormalize_so3) — every returned pose must be clean
+    t_cw = lie.orthonormalize_se3(t_cw)
     return PoseOptResult(t_cw, inliers, jnp.sum(inliers).astype(jnp.int32))

@@ -22,7 +22,6 @@ from dsp_slam_rgbd_tpu.mapping import local_mapping as lm
 from dsp_slam_rgbd_tpu.mapping import map_state as ms
 from dsp_slam_rgbd_tpu.mapping import objects as obj_mod
 from dsp_slam_rgbd_tpu.ops import lie
-from dsp_slam_rgbd_tpu.recon import optimizer as recon_opt
 from dsp_slam_rgbd_tpu.system import io as io_mod
 from dsp_slam_rgbd_tpu.tracking.tracker import Tracker
 
@@ -61,6 +60,17 @@ class SLAMSystem:
         self.gba_slice_iters = 2
         self.kf_slots_exhausted = 0  # dropped keyframes (capacity full)
         self._oobs_cursor = {}  # per-object ring cursors
+        # multi-device: the unmatched-detection reconstruction batch shards
+        # over an (obj,) mesh so the PRODUCT uses every chip (SURVEY §2.4)
+        self._recon_mesh = None
+        try:
+            if len(jax.devices()) > 1:
+                from dsp_slam_rgbd_tpu.parallel import mesh as pmesh
+
+                self._recon_mesh = pmesh.make_mesh(
+                    n_obj=len(jax.devices()), n_ray=1)
+        except Exception:
+            self._recon_mesh = None
         self._key = jax.random.PRNGKey(42)
         self.localization_only = False
         if self.db is not None:
@@ -109,6 +119,21 @@ class SLAMSystem:
         self._oobs_cursor = {}  # per-object ring cursors
         self._kf_valid_host = np.zeros(cfg.map.max_kf, bool)
 
+    def load_state(self, path: str):
+        """Restore a MapState checkpoint (`utils/checkpoint.py`) INTO the
+        running system: every external state assignment must rebuild the
+        kf_valid host mirror, or the next keyframe insert allocates over a
+        live slot (the mirror is the allocator's source of truth)."""
+        from dsp_slam_rgbd_tpu.utils import checkpoint as ckpt
+
+        state, extra = ckpt.load_state(path)
+        self.state = state
+        self.tracker.state = state
+        self._kf_valid_host = np.asarray(state.kf_valid).copy()
+        self.tracker._kv_memo = (state.kf_valid, self._kf_valid_host)
+        self.n_kf = int(extra.get("n_kf", self._kf_valid_host.sum()))
+        return extra
+
     # ------------------------------------------------------------------
     def track_stereo(self, img_left, img_right, timestamp=0.0,
                      detections=None):
@@ -122,12 +147,19 @@ class SLAMSystem:
     def track_mono(self, img, timestamp=0.0, detections=None):
         return self._track(img, timestamp=timestamp, detections=detections)
 
+    def track_frame(self, frame, detections=None):
+        """Track a pre-built Frame (from `prefetch.FramePrefetcher`: upload
+        + extraction dispatched one frame ahead on a worker thread)."""
+        return self._track(None, timestamp=frame.timestamp,
+                           detections=detections, frame=frame)
+
     # ------------------------------------------------------------------
     def _track(self, img, img_right=None, depth_map=None, timestamp=0.0,
-               detections=None):
+               detections=None, frame=None):
         self.tracker.state = self.state
         out = self.tracker.track(img, img_right=img_right,
-                                 depth_map=depth_map, timestamp=timestamp)
+                                 depth_map=depth_map, timestamp=timestamp,
+                                 frame=frame)
         # the tracker updates per-point found/visible statistics
         self.state = self.tracker.state
         if self.localization_only:
@@ -311,84 +343,56 @@ class SLAMSystem:
             for o, t_co in obs:
                 self._add_object_obs(o, kf_slot, t_co)
             return
-        t_cw = self.state.kf_pose[kf_slot]
-        centers = self.state.obj_pose[:, :3, 3]
-        det_t = jnp.asarray(np.stack([d.t_co for d in detections]))
-        det_valid = jnp.ones(len(detections), bool)
-        assoc, unmatched = obj_mod.associate_detections(
-            centers, self.state.obj_valid, self.state.obj_dynamic,
-            self.state.obj_velocity, det_t, det_valid, t_cw,
-        )
-        assoc = np.asarray(assoc)
-        unmatched = np.asarray(unmatched)
+        # ---- batched stereo object stage (system/object_stage.py): three
+        # device programs for the WHOLE keyframe regardless of detection
+        # count, replacing the reference's per-detection serialized calls
+        # (`LocalMapping_util.cc:86,158`) ----
+        from dsp_slam_rgbd_tpu.system import object_stage as ostage
 
-        for o in np.nonzero(assoc >= 0)[0]:
-            det = detections[int(assoc[o])]
-            # pose-only refinement with the existing code — everything
-            # stays device-resident (scale/pose/velocity as traced values):
-            # the old host round trips (`float(obj_scale)`, `np.asarray`
-            # of the refined pose) cost 2 tunnel RTTs per tracked object
-            # per keyframe
-            t_co_ref, loss = recon_opt.estimate_pose_cam_obj(
+        assoc, unmatched_idx = ostage.associate_batch(
+            self.state, detections, kf_slot)
+        a_rows = np.nonzero(assoc >= 0)[0]
+        if len(a_rows):
+            Acap = ostage.bucket(len(a_rows))
+            obj_idx = np.full(Acap, -1, np.int64)
+            obj_idx[: len(a_rows)] = a_rows
+            a_valid = np.zeros(Acap, bool)
+            a_valid[: len(a_rows)] = True
+            S = detections[0].pts.shape[0]
+            det_t = np.tile(np.eye(4, dtype=np.float32), (Acap, 1, 1))
+            det_pts = np.zeros((Acap, S, 3), np.float32)
+            det_mask = np.zeros((Acap, S), bool)
+            for j, o in enumerate(a_rows):
+                d = detections[int(assoc[o])]
+                det_t[j], det_pts[j], det_mask[j] = d.t_co, d.pts, d.pts_mask
+            qs = self._oobs_slots(obj_idx, a_valid)
+            self.state = ostage.refine_associated(
                 self.decoder_params, self.decoder_spec, self.cfg.recon,
-                jnp.asarray(det.t_co), self.state.obj_scale[o],
-                jnp.asarray(det.pts), jnp.asarray(det.pts_mask),
-                self.state.obj_code[o],
-            )
-            self._add_object_obs(int(o), kf_slot, t_co_ref)
-            t_wo_new = lie.inv_se3(t_cw) @ t_co_ref
-            prev_c = self.state.obj_pose[o, :3, 3]
-            v, dyn, _ = obj_mod.update_dynamics(
-                prev_c, t_wo_new[:3, 3], 1.0, self.state.obj_velocity[o]
-            )
-            self.state = self.state._replace(
-                obj_n_obs=self.state.obj_n_obs.at[o].add(1),
-                obj_last_kf=self.state.obj_last_kf.at[o].set(kf_slot),
-                obj_velocity=self.state.obj_velocity.at[o].set(v),
-                obj_dynamic=self.state.obj_dynamic.at[o].set(dyn),
-            )
-            self._assign_point_membership(int(o))
+                self.state, jnp.asarray(obj_idx), jnp.asarray(a_valid),
+                jnp.asarray(det_t), jnp.asarray(det_pts),
+                jnp.asarray(det_mask), kf_slot, jnp.asarray(qs))
 
-        for d in np.nonzero(unmatched)[0]:
-            det = detections[int(d)]
-            res = recon_opt.reconstruct_object(
-                self.decoder_params, self.decoder_spec, self.cfg.recon,
-                jnp.asarray(det.t_co).at[:3, :3].multiply(det.scale),
-                jnp.asarray(det.pts), jnp.asarray(det.pts_mask),
-                jnp.asarray(det.rays), jnp.asarray(det.ray_mask),
-                jnp.asarray(det.depth), jnp.asarray(det.fg_mask),
-            )
-            if not bool(res.is_good):
-                continue
-            slot = ms.alloc_slots(self.state.obj_valid, 1)[0]
-            if slot < 0:
-                continue
-            slot = int(slot)
-            t_co_fit = np.asarray(res.t_cam_obj)
-            s = float(np.cbrt(np.linalg.det(t_co_fit[:3, :3])))
-            t_co_se3 = t_co_fit.copy()
-            t_co_se3[:3, :3] /= s
-            t_wo = np.asarray(lie.inv_se3(t_cw)) @ t_co_se3
-            # in-loop decoded-shape bbox: the reference extracts a mesh at
-            # object creation and gates outliers on its bbox
-            # (`LocalMapping_util.cc:156-208`, `MapObject.cc:285-328`)
-            from dsp_slam_rgbd_tpu.models import mesh as mesh_mod
-            bb_min, bb_max = mesh_mod.sdf_bbox(
-                self.decoder_params, self.decoder_spec, res.code)
-            self.state = self.state._replace(
-                obj_pose=self.state.obj_pose.at[slot].set(jnp.asarray(t_wo)),
-                obj_scale=self.state.obj_scale.at[slot].set(s),
-                obj_code=self.state.obj_code.at[slot].set(res.code),
-                obj_valid=self.state.obj_valid.at[slot].set(True),
-                obj_n_obs=self.state.obj_n_obs.at[slot].set(1),
-                obj_last_kf=self.state.obj_last_kf.at[slot].set(kf_slot),
-                obj_ref_kfseq=self.state.obj_ref_kfseq.at[slot].set(self.n_kf),
-                obj_recon=self.state.obj_recon.at[slot].set(True),
-                obj_bbox_min=self.state.obj_bbox_min.at[slot].set(bb_min),
-                obj_bbox_max=self.state.obj_bbox_max.at[slot].set(bb_max),
-            )
-            self._add_object_obs(slot, kf_slot, t_co_se3)
-            self._assign_point_membership(slot)
+        if unmatched_idx:
+            min_cap = self._recon_mesh.devices.shape[0] \
+                if self._recon_mesh is not None else 1
+            res, bb_min, bb_max, good, obj_valid_np, _U = \
+                ostage.recon_unmatched(
+                    self.decoder_params, self.decoder_spec, self.cfg.recon,
+                    self.state, detections, unmatched_idx,
+                    mesh=self._recon_mesh, min_cap=min_cap)
+            Ucap = len(good)
+            slots = np.full(Ucap, -1, np.int64)
+            free = np.nonzero(~obj_valid_np)[0]
+            gi = np.nonzero(good)[0]
+            take = min(len(gi), len(free))
+            slots[gi[:take]] = free[:take]
+            ok = good & (slots >= 0)
+            if ok.any():
+                qs = self._oobs_slots(slots, ok)
+                self.state = ostage.insert_new_objects(
+                    self.state, jnp.asarray(slots), jnp.asarray(ok),
+                    res.t_cam_obj, res.code, bb_min, bb_max, kf_slot,
+                    self.n_kf, jnp.asarray(qs))
 
         keep = obj_mod.cull_objects(
             self.state.obj_valid, self.state.obj_n_obs,
@@ -453,6 +457,23 @@ class SLAMSystem:
         new_owner = jnp.where(release, -1, new_owner)
         self.state = st._replace(pt_object=new_owner.astype(jnp.int32))
 
+    def _oobs_slots(self, obj_slots, valid) -> np.ndarray:
+        """Pre-allocate observation-ring slots for a batch of objects (same
+        per-object partitioned ring as `_add_object_obs`; cursors advance
+        only for valid rows).  Returns (len(obj_slots),) int64, −1 pad."""
+        Q = self.state.oobs_kf.shape[0]
+        O = self.state.obj_pose.shape[0]
+        S = max(Q // O, 1)
+        qs = np.full(len(obj_slots), -1, np.int64)
+        for i, o in enumerate(np.asarray(obj_slots)):
+            o = int(o)
+            if o < 0 or not valid[i]:
+                continue
+            c = self._oobs_cursor.get(o, 0)
+            qs[i] = (o * S + c % S) % Q
+            self._oobs_cursor[o] = c + 1
+        return qs
+
     def _add_object_obs(self, obj_slot: int, kf_slot: int, t_co):
         """Record a camera-object pose edge.  The buffer is partitioned into
         per-object rings (Q // O slots each) so one busy object can never
@@ -487,8 +508,14 @@ class SLAMSystem:
         """Loop detection + correction per keyframe (LoopClosing::Run)."""
         if self.db is None or self.n_kf < 6:
             return
-        if self.n_kf < self._last_loop_nkf + 10:
-            return  # cooldown after a closure (LoopClosing.cc mLastLoopKFid)
+        # cooldown after a closure (LoopClosing.cc mLastLoopKFid + 10): no
+        # CORRECTION until 10 keyframes pass — but detection + consistency
+        # accounting keep running, so the 3-consecutive-KF consistency
+        # chain is already built the moment the cooldown expires (with the
+        # reference's full early-return, a revisit that straddles the
+        # cooldown boundary needs 3 more keyframes before it can close —
+        # on short revisits the run ends first)
+        in_cooldown = self.n_kf < self._last_loop_nkf + 10
         W = covis.covisibility_matrix(self.state)
         connected = (W[kf_slot] >= covis.MIN_WEIGHT)
         connected = connected.at[kf_slot].set(True)
@@ -515,8 +542,9 @@ class SLAMSystem:
             set(np.nonzero(rows[i])[0].tolist()) | {int(cidx[i])}
             for i in range(len(cidx))
         ]
-        consistent = self.consistency.update(groups)
-        if not consistent:
+        consistent = self.consistency.update(
+            groups, candidates=[int(c) for c in cidx])
+        if not consistent or in_cooldown:
             return
         # try EVERY enough-consistent candidate in descending BoW score
         # (the reference iterates all of mvpEnoughConsistentCandidates,
@@ -546,10 +574,19 @@ class SLAMSystem:
         # fuse duplicated landmarks between the two sides of the loop
         group_q = (W[kf_slot] >= covis.MIN_WEIGHT).at[kf_slot].set(True)
         group_c = (W[best] >= covis.MIN_WEIGHT).at[best].set(True)
-        self.state = loop_closing.fuse_duplicate_points(
+        self.state, pt_remap = loop_closing.fuse_duplicate_points(
             self.state, group_q & self.state.kf_valid,
             group_c & self.state.kf_valid,
         )
+        # redirect the tracker's live frame associations through the fusion
+        # remap (the reference's MapPoint::Replace pointer redirection):
+        # stale slots otherwise vote/match dead landmarks on the very next
+        # frame and tracking collapses right after the closure
+        lf = self.tracker.last_frame
+        if lf is not None:
+            pi = lf.pt_idx
+            self.tracker.last_frame = lf._replace(pt_idx=jnp.where(
+                pi >= 0, pt_remap[jnp.maximum(pi, 0)].astype(pi.dtype), pi))
         self.state = loop_closing.fuse_duplicate_objects(self.state)
         # global joint BA after the essential graph — STAGED: the reference
         # runs GlobalJointBundleAdjustment in an abortable thread

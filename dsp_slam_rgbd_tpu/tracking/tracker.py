@@ -400,12 +400,22 @@ class Tracker:
                      jnp.full(F, -1, jnp.int32), timestamp)
 
     # ------------------------------------------------------------------
-    def track(self, img, img_right=None, depth_map=None,
-              timestamp: float = 0.0) -> dict:
+    def track(self, img=None, img_right=None, depth_map=None,
+              timestamp: float = 0.0, frame: Optional[Frame] = None) -> dict:
         """Process one frame.  Returns a status dict; the caller (System)
-        handles keyframe insertion into local mapping."""
+        handles keyframe insertion into local mapping.
+
+        `frame`: a pre-built Frame (see `system/prefetch.FramePrefetcher`:
+        upload + ORB extraction dispatched one frame AHEAD on a worker
+        thread, so the extraction compute of frame N+1 overlaps frame N's
+        tracking fetch — the overlap the reference gets from running
+        extraction inside its tracking thread while mapping runs
+        elsewhere)."""
         self.frame_id += 1
-        frame = self.make_frame(img, img_right, depth_map, timestamp)
+        if frame is None:
+            frame = self.make_frame(img, img_right, depth_map, timestamp)
+        else:
+            timestamp = frame.timestamp
         out = {"new_kf": False, "frame": frame, "ok": False}
 
         if self.status == "NOT_INITIALIZED":
@@ -444,7 +454,10 @@ class Tracker:
         was_lost = self.status == "LOST"
         self.status = "OK" if ok else "LOST"
         if ok and self.last_frame is not None and not was_lost:
-            self.velocity = frame.t_cw @ lie.inv_se3(self.last_frame.t_cw)
+            # orthonormalized: the velocity re-enters pose predictions via
+            # transpose-inverses, which amplify any SO(3) defect 2x/frame
+            self.velocity = lie.orthonormalize_se3(
+                frame.t_cw @ lie.inv_se3(self.last_frame.t_cw))
         elif was_lost:
             # the previous frame's pose is meaningless after a loss: a
             # velocity computed against it poisons the motion model for
@@ -583,13 +596,19 @@ class Tracker:
         ts, ref, t_rel, ok = rel[-1]
         if not ok or ts != self.last_frame.timestamp:
             return
-        t_cw = jnp.asarray(t_rel) @ self.state.kf_pose[ref]
+        t_cw = lie.orthonormalize_se3(
+            jnp.asarray(t_rel) @ self.state.kf_pose[ref])
         self.last_frame = self.last_frame._replace(t_cw=t_cw)
         self.map_changed = False
-        # the velocity was estimated between raw pre-correction poses;
-        # after a large correction the safest model is identity (the
-        # reference rebuilds it over the next frames the same way)
-        self.velocity = jnp.eye(4)
+        # KEEP the velocity: T_curr←prev = T_cw(t)·T_cw(t−1)⁻¹ is a
+        # camera-relative transform — re-expressing the last pose in the
+        # corrected world does not invalidate it.  Resetting it to identity
+        # (the round-3 behavior) zeroes the motion-model prediction on the
+        # first post-closure frame; at ≳20 px/frame flow the doubled search
+        # window cannot cover the miss and tracking is lost exactly when
+        # the map just improved (measured on the extended long-run fixture:
+        # frames 48-49 lost after every closure, with an aliased-texture
+        # relocalization then poisoning the rest of the run).
 
     def _track_frame_fast(self, frame: Frame):
         """Fused motion-model + local-map tracking: one dispatch, one
@@ -745,7 +764,8 @@ class Tracker:
 
         need_close = False
         if self.cfg.sensor != "mono" and stats is not None:
-            need_close = int(stats[4]) > 70 and int(stats[3]) < 100
+            need_close = int(stats[4]) > self.cfg.tracking.close_free_th \
+                and int(stats[3]) < self.cfg.tracking.close_tracked_th
 
         # thRefRatio: 0.75 stereo/RGB-D, 0.9 mono, 0.4 when the map is tiny
         # (`Tracking.cc:1103-1110`)

@@ -1,16 +1,19 @@
-"""Long-run stress e2e: an out-and-back synthetic drive with real drift,
-loop closures detected from images alone (BoW vocabulary trained on the
-sequence's own descriptors), keyframe-capacity exhaustion made observable,
-and the CLI (`tools/run_slam.py --vocab ... --bootstrap-vocab N`) closing
-loops from a sequence directory on disk — the role of a full KITTI run
-(reference `README.md:114-137`, vocabulary boot `dsp_slam.cc:33-53`).
+"""Long-run stress e2e: a closed circuit drive where the revisit is NOT
+trackable-connected, loop closures detected from images alone (BoW
+vocabulary trained on the sequence's own descriptors), keyframe-capacity
+exhaustion made observable, and the CLI (`tools/run_slam.py --vocab ...
+--bootstrap-vocab N`) closing loops from a sequence directory on disk —
+the role of a full KITTI run (reference `README.md:114-137`, vocabulary
+boot `dsp_slam.cc:33-53`).
 
-World: textured tilted plane at z≈3 m viewed by a stereo camera whose x
-follows a smooth cosine out-and-back (velocity continuous through the
-turnaround, so motion-model tracking survives).  On the way back the camera
-re-enters previously seen territory with accumulated drift; tracking is
-connected only to return-leg keyframes, so place recognition + Sim3 must
-close the loop.
+World: textured tilted plane at z≈3 m viewed by a stereo camera driving a
+smooth ELLIPSE circuit in the plane-parallel (x, y) directions.  The
+outbound and return legs are separated laterally by more than the FOV
+footprint, so the map genuinely forks: when the circuit closes, the start
+region is only reachable through place recognition + Sim3 — exactly the
+loop-closing situation of a KITTI 00 block.  (An earlier out-and-back
+fixture stopped opening a loop at all once pose orthonormalization fixed
+the drift it relied on — tracking simply reacquired the outbound map.)
 """
 import math
 import os
@@ -66,46 +69,63 @@ def _surface_z(X, Y, cam_x_unused=None):
         * np.cos(BUMP_WY * Y)
 
 
-def render(texture, cam_x, tex_scale=450.0):
+def render(texture, cam_x, cam_y=0.0, tex_scale=450.0):
     from scipy.ndimage import map_coordinates
 
     u, v = np.meshgrid(np.arange(W), np.arange(H))
     dx = (u - CAM.cx) / FX
     dy = (v - CAM.cy) / FX
-    # ray (cam_x + dx·t, dy·t, t) ∩ z = surface(x, y): Newton from the
-    # planar solution (the undulation slope is mild, 4 iters ≪ 1e-6 m)
+    # ray (cam_x + dx·t, cam_y + dy·t, t) ∩ z = surface(x, y): Newton from
+    # the planar solution (the undulation slope is mild, 4 iters ≪ 1e-6 m)
     t = (PLANE_Z + TILT * cam_x) / (1.0 - TILT * dx)
     for _ in range(4):
         X = cam_x + dx * t
-        Y = dy * t
+        Y = cam_y + dy * t
         f = t - _surface_z(X, Y)
         df = 1.0 - TILT * dx - BUMP_A * (
             BUMP_WX * np.cos(BUMP_WX * X) * np.cos(BUMP_WY * Y) * dx
             - BUMP_WY * np.sin(BUMP_WX * X) * np.sin(BUMP_WY * Y) * dy)
         t = t - f / df
     X = cam_x + dx * t
-    Y = dy * t
+    Y = cam_y + dy * t
     tx = X * tex_scale / 10.0 + texture.shape[1] / 2
     ty = Y * tex_scale / 10.0 + texture.shape[0] / 2
     return map_coordinates(texture, [ty, tx], order=1, mode="wrap").astype(
         np.float32)
 
 
-def loop_path(n_total=68, amp=4.2):
-    """Smooth out-and-back: x(t) = amp·(1−cos 2πt)/2.  Peak speed gives
-    ~11 px/frame flow at the plane — brisk but KITTI-like; the fixture is a
-    loop-closing test, not an extreme-motion torture."""
-    return [amp * 0.5 * (1.0 - math.cos(2.0 * math.pi * i / n_total))
-            for i in range(n_total + 1)]
+N_LAP = 100       # frames per circuit lap
+LAP2_EXTRA = 16   # frames driven into a second lap past the closure point
 
 
-def make_cfg(max_kf=40):
+def loop_path(n_total=N_LAP, extra=LAP2_EXTRA, a=4.0, b=2.5):
+    """Smooth ellipse circuit: (x, y) = (a(1−cos θ), b·sin θ), θ = 2πi/n.
+    Peak speed ~0.25 m/frame (~17 px flow at the plane) with continuous
+    velocity everywhere.  Lateral leg separation 2b = 5 m exceeds the
+    ~3.4 m FOV footprint at z≈3, so mid-circuit the outbound map is NOT
+    reachable by tracking — closing the circuit requires place
+    recognition + Sim3, like a real KITTI loop.
+
+    The path continues `extra` frames into a SECOND lap (same formula, so
+    velocity is continuous through the origin): the revisit straddles the
+    post-closure cooldown, exercising the reference's mLastLoopKFid+10
+    gate plus the 3-consecutive-KF consistency build-up."""
+    return [(a * (1.0 - math.cos(2.0 * math.pi * i / n_total)),
+             b * math.sin(2.0 * math.pi * i / n_total))
+            for i in range(n_total + 1 + extra)]
+
+
+def make_cfg(max_kf=72):
     return SystemConfig(
         sensor="stereo", cam=CAM,
         orb=OrbConfig(n_features=400, n_levels=3),
         tracking=TrackingConfig(fps=10.0, th_depth=30.0,
+                                min_frames_between_kf=2,
                                 max_frames_between_kf=4,
-                                min_tracked_for_ok=25),
+                                min_tracked_for_ok=25,
+                                # census thresholds scaled to 400 features
+                                # (reference constants assume ~2000)
+                                close_tracked_th=20, close_free_th=14),
         map=MapConfig(max_kf=max_kf, max_feat=512, max_pts=16384, max_obj=4,
                       max_oobs=64, local_window=6),
     )
@@ -116,8 +136,9 @@ def loop_world(tmp_path_factory):
     """Render the loop sequence once; also write it to disk for the CLI."""
     rng = np.random.default_rng(0)
     texture = make_texture(rng)
-    xs = loop_path()
-    frames = [(render(texture, x), render(texture, x + BASE)) for x in xs]
+    xys = loop_path()
+    frames = [(render(texture, x, y), render(texture, x + BASE, y))
+              for x, y in xys]
 
     from PIL import Image
 
@@ -129,7 +150,7 @@ def loop_world(tmp_path_factory):
             root / "image_2" / f"{i:06d}.png")
         Image.fromarray(np.clip(ir, 0, 255).astype(np.uint8)).save(
             root / "image_3" / f"{i:06d}.png")
-    return xs, frames, root
+    return xys, frames, root
 
 
 def _train_vocab(frames, cfg):
@@ -141,10 +162,10 @@ def _train_vocab(frames, cfg):
 
 
 def test_long_run_loop_closure(loop_world):
-    """Drive the full out-and-back: tracking survives the turnaround,
-    drift accumulates, and the return leg closes ≥1 loop against the
-    outbound map, improving the trajectory."""
-    xs, frames, _ = loop_world
+    """Drive the full circuit: tracking survives every leg, drift
+    accumulates on the far side, and the circuit's closing frames fire ≥1
+    loop closure against the start-region map."""
+    xys, frames, _ = loop_world
     cfg = make_cfg()
     vocab = _train_vocab(frames, cfg)
     sys_ = SLAMSystem(cfg, vocab=vocab)
@@ -153,15 +174,15 @@ def test_long_run_loop_closure(loop_world):
 
     traj = sys_.tracker.trajectory
     ok = np.asarray([o for _, _, o in traj])
-    assert ok.mean() > 0.9, "tracking must survive the turnaround"
+    assert ok.mean() > 0.9, "tracking must survive the whole circuit"
     assert sys_.loop_closures >= 1, "the revisit must close a loop"
     # post-loop staged GBA budget drains across subsequent keyframes
     assert sys_.n_kf > 10
-    # raw at-track-time drift (a loop closure cannot retroactively fix it)
-    raw_x = np.asarray([-np.asarray(p)[0, 3] for _, p, o in traj if o])
-    assert np.isfinite(raw_x).all()
-    gt_raw = np.asarray([xs[i] for i in range(len(traj)) if traj[i][2]])
-    raw_drift = np.abs(raw_x - gt_raw).max()
+    # raw at-track-time camera centers (R = I throughout the circuit)
+    raw_c = np.stack([-np.asarray(p)[:3, 3] for _, p, o in traj if o])
+    assert np.isfinite(raw_c).all()
+    gt_xy = np.asarray([xys[i] for i in range(len(traj)) if traj[i][2]])
+    raw_drift = np.linalg.norm(raw_c[:, :2] - gt_xy, axis=1).max()
     # CORRECTED trajectory: frame poses composed from the current keyframe
     # poses via stored relative transforms — this is what the reference's
     # SaveTrajectory writes, and where loop corrections propagate
@@ -172,21 +193,29 @@ def test_long_run_loop_closure(loop_world):
 
     ts, poses, ok_rel = sys_._frame_poses()
     cen = np.linalg.inv(poses[ok_rel])[:, :3, 3]
-    gt_c = np.stack([
-        np.asarray([xs[int(round(t / 0.1))] for t in ts[ok_rel]]),
-        np.zeros(ok_rel.sum()), np.zeros(ok_rel.sum())], 1)
+    fi = [int(round(t / 0.1)) for t in ts[ok_rel]]
+    gt_c = np.asarray([[xys[f][0], xys[f][1], 0.0] for f in fi])
     T_align, ate_rmse = align_trajectories(
         jnp.asarray(cen, jnp.float32), jnp.asarray(gt_c, jnp.float32),
         fix_scale=True)
-    # sanity bound only: a few mid-run frames were tracked through the
-    # fixture's peak-speed rough patch with weak anchors, and their
-    # relative entries cannot be improved retroactively by the closure
-    assert float(ate_rmse) < 2.0, float(ate_rmse)
-    # revisit consistency — THE loop-closure property: the drive ends where
-    # it began, so the corrected start/end poses must coincide (without a
-    # closure they sit a full accumulated drift apart)
-    gap = np.linalg.norm(cen[-1] - cen[0])
+    assert float(ate_rmse) < 0.5, float(ate_rmse)
+    # revisit consistency — THE loop-closure property: the drive passes its
+    # starting point again, so corrected poses at the same ground-truth
+    # position must coincide (without a closure they sit a full accumulated
+    # drift apart).  Row lookup by frame index (= ts·fps).
+    fidx = np.asarray(fi)
+    row = {f: r for r, f in enumerate(fidx)}
+    gap = np.linalg.norm(cen[row[N_LAP]] - cen[row[0]])
     assert gap < 0.5, gap
+    # lap-2 frames vs their lap-1 counterparts (same ground-truth spot):
+    # the closure pinned the lap boundary, so corrected revisit poses must
+    # coincide with the first pass
+    lap2 = [(f, f - N_LAP) for f in fidx if f >= N_LAP + 6
+            and (f - N_LAP) in row and f in row]
+    assert lap2, "no tracked lap-2 frames"
+    d2 = np.asarray([np.linalg.norm(cen[row[a]] - cen[row[b]])
+                     for a, b in lap2])
+    assert d2.max() < 0.5, (d2.max(), lap2)
 
 
 def test_kf_capacity_exhaustion_observable():

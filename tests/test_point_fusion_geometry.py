@@ -38,7 +38,7 @@ def test_fuse_duplicate_points():
     st = _two_group_state()
     gq = jnp.asarray([False, True, False, False])
     gc = jnp.asarray([True, False, False, False])
-    st2 = loop_closing.fuse_duplicate_points(st, gq, gc, radius=0.2)
+    st2, _ = loop_closing.fuse_duplicate_points(st, gq, gc, radius=0.2)
     v = np.asarray(st2.pt_valid)
     assert v[:10].all()          # old landmarks survive
     assert not v[10:20].any()    # duplicates merged away

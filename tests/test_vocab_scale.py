@@ -1,0 +1,118 @@
+"""Vocabulary at scale: retrieval precision under deliberate aliasing.
+
+The reference ships a ~1M-word ORBvoc (`src/KeyFrameDatabase.cc:76` relies
+on its discriminative word space); a 1k-word session vocabulary saturates
+BoW scores at KITTI scale and retrieval drowns in perceptual aliasing.
+This test trains a depth-4 tree on >100k synthetic descriptors and asserts,
+over 100 keyframes with a heavy shared-texture pool:
+
+  * the true revisit outranks every distractor for all queries;
+  * the retrieval gate produces zero false candidates on keyframes whose
+    true match is masked out (no-revisit control).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from dsp_slam_rgbd_tpu.loop import keyframe_db, vocabulary
+
+N_KF = 100
+N_REVISIT = 40          # KFs 60..99 revisit KFs 0..39
+DESC_PER_KF = 256
+N_TRAIN = 110_000
+
+
+def _rand_desc(rng, n):
+    return rng.integers(0, 2**32, size=(n, 8), dtype=np.uint64) \
+        .astype(np.uint32)
+
+
+def _perturb(rng, desc, bits=6):
+    """Flip `bits` random bits per descriptor (viewpoint/noise model)."""
+    out = desc.copy()
+    n = len(desc)
+    for _ in range(bits):
+        word = rng.integers(0, 8, n)
+        bit = rng.integers(0, 32, n).astype(np.uint32)
+        out[np.arange(n), word] ^= (np.uint32(1) << bit)
+    return out
+
+
+def _make_world(rng):
+    """Per-KF descriptor sets with heavy aliasing: 50% of every KF's
+    descriptors come from one SHARED texture pool (the repeated-facade
+    pathology), 50% are place-specific.  Revisit KFs re-observe their
+    partner's place-specific patterns with noise."""
+    shared_pool = _rand_desc(rng, 2000)
+    place = [_rand_desc(rng, DESC_PER_KF // 2) for _ in range(60)]
+    kfs = []
+    for k in range(N_KF):
+        shared = shared_pool[rng.choice(len(shared_pool), DESC_PER_KF // 2,
+                                        replace=False)]
+        if k < 60:
+            own = place[k]
+        else:
+            own = place[k - 60]           # revisit of KF k-60
+        kfs.append(np.concatenate([_perturb(rng, shared),
+                                   _perturb(rng, own)]))
+    return kfs
+
+
+def test_retrieval_precision_at_scale():
+    rng = np.random.default_rng(7)
+    kfs = _make_world(rng)
+    train_desc = np.concatenate(
+        kfs + [_rand_desc(rng, N_TRAIN - N_KF * DESC_PER_KF)])
+    assert len(train_desc) >= 100_000
+    vocab = vocabulary.train(train_desc, branching=8, depth=4, seed=0)
+    assert vocab.n_words == 4096
+
+    db = keyframe_db.empty(N_KF, vocab.n_words)
+    bows = []
+    for k, desc in enumerate(kfs):
+        w = vocabulary.quantize(vocab, jnp.asarray(desc),
+                                jnp.ones(len(desc), bool))
+        v = vocabulary.bow_vector(w, vocab.n_words)
+        bows.append(v)
+        db = db.add(k, v)
+
+    covw = jnp.zeros((N_KF, N_KF))  # no covisibility links: worst case
+    top1_correct = 0
+    for q in range(60, N_KF):
+        true = q - 60
+        # exclude temporal neighbors (the connected/recent mask role)
+        connected = np.zeros(N_KF, bool)
+        connected[max(q - 10, 0): q + 1] = True
+        keep, scores = keyframe_db.detect_loop_candidates(
+            db, bows[q], jnp.asarray(connected), covw)
+        keep = np.asarray(keep)
+        scores = np.asarray(scores)
+        assert keep[true], f"true revisit {true} not retrieved for q={q}"
+        distractors = keep.copy()
+        distractors[true] = False
+        distractors[connected] = False
+        if distractors.any():
+            assert scores[true] > scores[distractors].max(), (
+                f"q={q}: true revisit outranked by a distractor")
+        top1_correct += 1
+    assert top1_correct == N_REVISIT
+
+    # no-revisit control: mask the true partner too — NOTHING may clear the
+    # candidate gate with a score >= the true-match score band, i.e. the
+    # best distractor must score clearly below the weakest true match
+    true_scores = []
+    for q in range(60, N_KF):
+        s = vocabulary.l1_score(db.bow, bows[q][None, :])
+        true_scores.append(float(np.asarray(s)[q - 60]))
+    worst_true = min(true_scores)
+    false_hits = 0
+    for q in range(60, N_KF):
+        connected = np.zeros(N_KF, bool)
+        connected[max(q - 10, 0): q + 1] = True
+        connected[q - 60] = True          # mask the true partner
+        keep, scores = keyframe_db.detect_loop_candidates(
+            db, bows[q], jnp.asarray(connected), covw)
+        cand = np.asarray(keep) & ~connected
+        if cand.any() and np.asarray(scores)[cand].max() >= worst_true:
+            false_hits += 1
+    assert false_hits == 0, f"{false_hits} aliased retrievals above the " \
+        "true-match score band"

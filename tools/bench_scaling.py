@@ -20,13 +20,110 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def run_multiprocess(args):
+    """Parent: spawn N jax.distributed CPU processes (4 virtual devices
+    each) running this same script in --worker-rank mode; rank 0 prints the
+    scaling row.  This is the DCN tier of SURVEY §2.4 in simulation — the
+    identical code path runs across real hosts."""
+    import subprocess
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--worker-rank", str(r), "--processes", str(args.processes),
+             "--port", str(args.port),
+             "--batch-per-device", str(args.batch_per_device),
+             "--reps", str(args.reps)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for r in range(args.processes)
+    ]
+    rc = 0
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=1200)
+        rc |= p.returncode
+        for line in out.splitlines():
+            if line.startswith("{"):
+                print(line)
+    sys.exit(rc)
+
+
+def run_worker(args):
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dsp_slam_rgbd_tpu.models import deepsdf
+    from dsp_slam_rgbd_tpu.parallel import distributed as dist
+    from dsp_slam_rgbd_tpu.parallel import sharded_recon
+    from dsp_slam_rgbd_tpu.recon.optimizer import ReconConfig
+
+    dist.initialize(f"localhost:{args.port}", args.processes,
+                    args.worker_rank)
+    n_dev = len(jax.devices())
+    spec = deepsdf.DecoderSpec()
+    params = jax.tree_util.tree_map(
+        np.asarray, deepsdf.init_params(spec, jax.random.PRNGKey(0)))
+    cfg = ReconConfig()
+    rng = np.random.default_rng(0)
+    N_PTS, N_RAYS = 256, 512
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0, 0, 8.0]
+    B = args.batch_per_device * n_dev
+    pts = (rng.standard_normal((B, N_PTS, 3)) * 0.5 + [0, 0, 8.0]
+           ).astype(np.float32)
+    rays = (rng.standard_normal((B, N_RAYS, 3)) * 0.04 + [0, 0, 1.0]
+            ).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=2, keepdims=True)
+    host = {
+        "t_cam_obj": np.stack([T] * B), "pts": pts,
+        "pts_mask": np.ones((B, N_PTS), bool), "rays": rays,
+        "ray_mask": np.ones((B, N_RAYS), bool),
+        "depth_obs": np.full((B, N_RAYS), 8.0, np.float32),
+        "fg_mask": np.ones((B, N_RAYS), bool),
+        "code_init": np.zeros((B, cfg.code_len), np.float32),
+    }
+    mesh = dist.global_mesh("obj")
+    placed = {k: dist.shard_global(v, mesh) for k, v in host.items()}
+    params_r = dist.replicate(params, mesh)
+
+    out = sharded_recon._recon_batched(params_r, spec, cfg, placed)
+    dist.fetch(out.t_cam_obj)  # warm + global barrier
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out = sharded_recon._recon_batched(params_r, spec, cfg, placed)
+    dist.fetch(out.t_cam_obj)
+    dt = time.perf_counter() - t0
+    rate = B * args.reps / dt
+    if args.worker_rank == 0:
+        print(json.dumps({
+            "processes": args.processes, "devices": n_dev,
+            "recon_per_s": round(rate, 2),
+            "note": "virtual CPU devices share one host's FLOPs — "
+                    "efficiency meaningful on real multi-host only",
+        }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="force an 8-device virtual CPU mesh")
     ap.add_argument("--batch-per-device", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--processes", type=int, default=1,
+                    help="run N jax.distributed processes (CPU simulation "
+                         "of the multi-host tier)")
+    ap.add_argument("--port", type=int, default=39311)
+    ap.add_argument("--worker-rank", type=int, default=None)
     args = ap.parse_args()
+
+    if args.worker_rank is not None:
+        return run_worker(args)
+    if args.processes > 1:
+        return run_multiprocess(args)
 
     if args.cpu:
         os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \

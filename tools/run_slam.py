@@ -23,7 +23,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _bootstrap_vocab(seq, cfg, sensor: str, n_frames: int):
+def _bootstrap_vocab(seq, cfg, sensor: str, n_frames: int,
+                     branching: int = 10, depth: int = 3):
     """Train a k-medians vocabulary on ORB descriptors from `n_frames`
     frames sampled evenly across the sequence (the in-framework substitute
     for the reference's shipped ORBvoc.bin)."""
@@ -43,8 +44,9 @@ def _bootstrap_vocab(seq, cfg, sensor: str, n_frames: int):
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     all_desc = np.concatenate(descs) if descs else np.zeros((0, 8), np.uint32)
     print(f"training vocabulary on {len(all_desc)} descriptors "
-          f"from {len(idxs)} frames")
-    return vocabulary.train(all_desc)
+          f"from {len(idxs)} frames (branching={branching}, depth={depth}, "
+          f"{branching**depth} words)")
+    return vocabulary.train(all_desc, branching=branching, depth=depth)
 
 
 def main():
@@ -65,7 +67,35 @@ def main():
     ap.add_argument("--bootstrap-vocab", type=int, default=0, metavar="N",
                     help="if --vocab does not exist, train it on ORB "
                          "descriptors from N frames of this sequence")
+    ap.add_argument("--vocab-branching", type=int, default=10,
+                    help="vocabulary tree branching factor (bootstrap mode)")
+    ap.add_argument("--vocab-depth", type=int, default=3,
+                    help="vocabulary tree depth: words = branching**depth. "
+                         "10^3 = 1k words suits short sequences; use "
+                         "depth 4-5 (10k-100k words) at KITTI scale or BoW "
+                         "scores saturate and retrieval aliases "
+                         "(tests/test_vocab_scale.py)")
+    ap.add_argument("--viz-every", type=int, default=0, metavar="N",
+                    help="write an incremental top-down map/trajectory PNG "
+                         "+ annotated frame every N frames (the live-viewer "
+                         "role of the reference Viewer/MapDrawer, offline)")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth trajectory (KITTI format) for the "
+                         "ATE entry in summary.json")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a jax.distributed collective before running "
+                         "(multi-host: sharded reconstruction spans every "
+                         "process's devices)")
+    ap.add_argument("--coordinator", default="localhost:9911")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args()
+
+    if args.distributed:
+        from dsp_slam_rgbd_tpu.parallel import distributed as dist_mod
+
+        dist_mod.initialize(args.coordinator, args.num_processes,
+                            args.process_id)
 
     from dsp_slam_rgbd_tpu import config as cfg_mod
     from dsp_slam_rgbd_tpu.models import deepsdf
@@ -102,7 +132,9 @@ def main():
                   f"({vocab.n_words} words)")
         elif args.bootstrap_vocab > 0:
             vocab = _bootstrap_vocab(seq, cfg, args.sensor,
-                                     args.bootstrap_vocab)
+                                     args.bootstrap_vocab,
+                                     branching=args.vocab_branching,
+                                     depth=args.vocab_depth)
             vocabulary.save_npz(args.vocab, vocab)
             print(f"vocabulary trained + saved: {args.vocab} "
                   f"({vocab.n_words} words)")
@@ -117,35 +149,46 @@ def main():
     if args.max_frames:
         n = min(n, args.max_frames)
 
-    # disk read + host→device upload run on a background thread, one frame
-    # ahead of tracking (the data-loader stage: the transfer rides under
-    # the previous frame's device compute — system/prefetch.py)
-    from dsp_slam_rgbd_tpu.system.prefetch import ImagePrefetcher
+    # disk read + host→device upload + ORB extraction all run on a
+    # background thread, one frame ahead of tracking (the data-loader
+    # stage: transfer AND extraction ride under the previous frame's
+    # device compute / stats fetch — system/prefetch.FramePrefetcher)
+    from dsp_slam_rgbd_tpu.system.prefetch import FramePrefetcher
 
     def frames():
         for i in range(n):
             f = seq.frame(i)
             yield f if isinstance(f, tuple) else (f,)
 
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.viz_every:
+        os.makedirs(os.path.join(args.out_dir, "viz"), exist_ok=True)
+
+    import numpy as np
+
     times = []
-    for i, imgs in enumerate(ImagePrefetcher(frames(), depth=2)):
+    pf = FramePrefetcher(system.tracker, frames(), sensor=args.sensor,
+                         fps=cfg.tracking.fps, depth=2)
+    for i, frame in enumerate(pf):
         t0 = time.perf_counter()
         dets = seq.detections(i) or None
-        if args.sensor == "stereo":
-            system.track_stereo(*imgs, timestamp=i / cfg.tracking.fps,
-                                detections=dets)
-        elif args.sensor == "rgbd":
-            system.track_rgbd(*imgs, timestamp=i / cfg.tracking.fps,
-                              detections=dets)
-        else:
-            system.track_mono(*imgs, timestamp=i / cfg.tracking.fps,
-                              detections=dets)
+        out = system.track_frame(frame, detections=dets)
         times.append(time.perf_counter() - t0)
         if i % 25 == 0:
             print(f"frame {i}/{n}  {times[-1]*1e3:.1f} ms  "
                   f"status={system.tracker.status}  kf={system.n_kf}")
+        if args.viz_every and i % args.viz_every == 0:
+            # incremental map view (Viewer.cc/MapDrawer role, offline)
+            from dsp_slam_rgbd_tpu.system import viz
 
-    os.makedirs(args.out_dir, exist_ok=True)
+            st = system.state
+            kv = np.asarray(st.kf_valid)
+            poses = np.asarray(st.kf_pose)[kv]
+            pts = np.asarray(st.pt_pos)[np.asarray(st.pt_valid)]
+            viz.trajectory_figure(
+                poses, pts,
+                os.path.join(args.out_dir, "viz", f"map_{i:06d}.png"))
+
     system.save_trajectory_kitti(os.path.join(args.out_dir,
                                               "CameraTrajectory.txt"))
     system.save_trajectory_tum(os.path.join(args.out_dir,
@@ -157,6 +200,44 @@ def main():
           f"({1.0/max(med,1e-9):.1f} FPS)")
     print(f"mean tracking time: {sum(times)/max(len(times),1)*1e3:.1f} ms")
     print(f"keyframes: {system.n_kf}, loop closures: {system.loop_closures}")
+
+    # machine-readable per-run summary next to the trajectory (the
+    # exit-time stats of the reference `dsp_slam.cc:109-118`, structured)
+    import json as json_mod
+
+    ts_arr = np.asarray(times) if times else np.zeros(1)
+    summary = {
+        "frames": len(times),
+        "fps": round(len(times) / max(float(ts_arr.sum()), 1e-9), 2),
+        "track_ms_p50": round(float(np.percentile(ts_arr, 50)) * 1e3, 1),
+        "track_ms_p90": round(float(np.percentile(ts_arr, 90)) * 1e3, 1),
+        "track_ms_p99": round(float(np.percentile(ts_arr, 99)) * 1e3, 1),
+        "n_kf": system.n_kf,
+        "n_kf_live": int(np.asarray(system.state.kf_valid).sum()),
+        "n_points": int(np.asarray(system.state.pt_valid).sum()),
+        "n_objects": int(np.asarray(system.state.obj_valid).sum()),
+        "loop_closures": system.loop_closures,
+        "kf_slots_exhausted": system.kf_slots_exhausted,
+        "final_status": system.tracker.status,
+    }
+    if args.gt and os.path.isfile(args.gt):
+        import jax.numpy as jnp
+
+        from dsp_slam_rgbd_tpu.solvers.sim3 import align_trajectories
+
+        gt = np.loadtxt(args.gt, ndmin=2)[:, [3, 7, 11]]
+        est = np.loadtxt(
+            os.path.join(args.out_dir, "CameraTrajectory.txt"),
+            ndmin=2)[:, [3, 7, 11]]
+        m = min(len(gt), len(est))
+        if m >= 3:
+            _, ate = align_trajectories(
+                jnp.asarray(est[:m], jnp.float32),
+                jnp.asarray(gt[:m], jnp.float32), fix_scale=True)
+            summary["ate_rmse"] = round(float(ate), 4)
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json_mod.dump(summary, f, indent=1)
+    print("summary:", json_mod.dumps(summary))
 
 
 if __name__ == "__main__":
