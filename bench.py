@@ -138,7 +138,7 @@ def main():
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tools.bench_pipeline import run as pipeline_run
 
-        p = pipeline_run(frames=18, warmup=6)
+        p = pipeline_run(frames=36, warmup=6)
         out["pipeline_fps"] = p["value"]
         out["pipeline_track_only_ms"] = p["track_only_ms"]
         out["pipeline_kf_frame_ms"] = p["kf_frame_ms"]

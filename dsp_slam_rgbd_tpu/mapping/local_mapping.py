@@ -373,7 +373,7 @@ def cull_points(state: ms.MapState, current_id: int,
 
 
 def cull_keyframes(state: ms.MapState, kf_slot: int,
-                   redundancy: float = 0.9, max_cull: int = 4):
+                   redundancy: float = 0.9, max_cull: int = 2):
     """KeyFrameCulling (:684): local KFs whose points are ≥90% seen by ≥3
     other KFs are removed.  Returns (state, [culled_slots]) — the caller
     must purge each slot from the BoW database and re-anchor any frame
@@ -387,7 +387,8 @@ def cull_keyframes(state: ms.MapState, kf_slot: int,
     masked reduction over the (K, F) table; the host fetches one small
     culled-slot vector instead of paying an argmax roundtrip per round).
     `max_cull` bounds the rounds (the reference visits each local KF once;
-    in practice few pass the 90% gate)."""
+    in practice ≥2 culls in one keyframe's window are rare — profiled at
+    ~13 ms/round on a v5e, so the default is 2 rounds)."""
     new_state, culled_v = _cull_keyframes_device(state, kf_slot, redundancy,
                                                  max_cull)
     culled_v = np.asarray(culled_v)
@@ -443,6 +444,38 @@ def _cull_keyframes_device(state: ms.MapState, kf_slot,
     new_ref = jnp.where(best >= 0, best % K, -1).astype(ref.dtype)
     return state._replace(
         pt_ref_kf=jnp.where(ref_bad, new_ref, ref)), culled
+
+
+def kf_point_stage(state: ms.MapState, cam, kf_slot: int, frame,
+                   frame_id: int, th_depth_m: float, first_id: int,
+                   stereo: bool, n_neighbors: int,
+                   min_obs_after: int) -> ms.MapState:
+    """One-dispatch keyframe point stage (see _kf_point_stage_fused)."""
+    return _kf_point_stage_fused(state, cam, kf_slot, frame,
+                                 jnp.int32(frame_id),
+                                 jnp.float32(th_depth_m),
+                                 jnp.int32(first_id), stereo, n_neighbors,
+                                 min_obs_after)
+
+
+@partial(jax.jit, static_argnames=("cam", "stereo", "n_neighbors",
+                                   "min_obs_after"))
+def _kf_point_stage_fused(state: ms.MapState, cam, kf_slot, frame,
+                          frame_id, th_depth_m, first_id, stereo: bool,
+                          n_neighbors: int, min_obs_after: int):
+    """Insert + spawn + triangulate + fuse + cull + geometry as ONE
+    program (six separate jits cost ~5 ms of per-program overhead EACH on
+    a v5e — profiled; one program also widens XLA's fusion scope)."""
+    state = insert_keyframe(state, frame, kf_slot, frame_id)
+    if stereo:
+        state = _spawn_depth_device(state, cam, kf_slot, frame, th_depth_m,
+                                    first_id, 256)
+    state, _ = _triangulate_device(state, cam, kf_slot, first_id, 256,
+                                   n_neighbors)
+    state = fuse_neighbors(state, cam, kf_slot)
+    state = cull_points(state, first_id, min_obs_after=min_obs_after)
+    state = update_point_geometry(state)
+    return state
 
 
 class LocalIndex(NamedTuple):
@@ -755,6 +788,83 @@ def local_ba_step(state: ms.MapState, cam, center_kf: int,
                   max_kfs: int = 10) -> ms.MapState:
     return _solve_ba_optimistic(state, cam, center_kf, max_kfs, False,
                                 lambda prob: ba.local_ba(cam, prob))
+
+
+@partial(jax.jit, static_argnames=("cam", "max_kfs", "Kl", "Pl", "Ol", "N",
+                                   "M", "max_cull"))
+def _ba_cull_device(state: ms.MapState, cam, center_kf, max_kfs: int,
+                    Kl: int, Pl: int, Ol: int, N: int, M: int,
+                    max_cull: int):
+    """Local BA (assemble + solve + apply) AND keyframe culling as ONE
+    program with ONE combined fetch vector [counts(5) | culled(max_cull)].
+
+    The split version paid ~5 ms of program overhead x3 (assemble/solve/
+    apply were one chain but cull was separate) plus TWO result fetches
+    (counts, culled) per keyframe over the tunnel."""
+    prob, idx, counts = _ba_assemble_device(state, center_kf, max_kfs,
+                                            False, Kl, Pl, Ol, N, M)
+    res = ba.local_ba(cam, prob)
+    state = apply_ba_result(state, idx, res)
+    state, culled = _cull_keyframes_device(state, center_kf, 0.9, max_cull)
+    return state, jnp.concatenate([counts, culled.astype(jnp.int32)])
+
+
+def ba_cull_dispatch(state: ms.MapState, cam, center_kf: int,
+                     max_kfs: int = 10, max_cull: int = 2):
+    """Dispatch the combined BA+cull program with memoized optimistic
+    buckets.  Returns a pending handle; the caller may dispatch further
+    device work on the optimistic `pending["state"]` before calling
+    `ba_cull_read` — the counts/culled fetch then overlaps it."""
+    K = state.kf_valid.shape[0]
+    P = state.pt_pos.shape[0]
+    F = state.kf_feat_pt.shape[1]
+    O = state.obj_valid.shape[0]
+    Q = state.oobs_valid.shape[0]
+    key = (K, P, F, O, Q, max_kfs, False)
+    buckets = _bucket_memo.get(key)
+    if buckets is None:
+        counts = np.asarray(_ba_counts_device(state, center_kf, max_kfs,
+                                              False))
+        buckets = _buckets_for(counts, K, P, F, O, Q)
+        _bucket_memo[key] = buckets
+    new_state, vec = _ba_cull_device(state, cam, center_kf, max_kfs,
+                                     *buckets, max_cull)
+    return {"state": new_state, "vec": vec, "buckets": buckets, "key": key,
+            "pre_state": state, "cam": cam, "center": center_kf,
+            "max_kfs": max_kfs, "max_cull": max_cull,
+            "shapes": (K, P, F, O, Q)}
+
+
+def ba_cull_read(pending):
+    """Fetch + verify a `ba_cull_dispatch` result.
+
+    Returns (fit, culled_slots, redo_state): fit=True → the optimistic
+    state was correct; fit=False → the caller must replace its state with
+    `redo_state` (re-solved from the pre-BA state with grown buckets) and
+    re-apply anything it stacked on the optimistic state."""
+    vec = np.asarray(pending["vec"])  # THE keyframe-stage tail fetch
+    counts, culled_v = vec[:5], vec[5:]
+    buckets = pending["buckets"]
+    K, P, F, O, Q = pending["shapes"]
+    if _counts_fit(counts, buckets):
+        return True, [int(k) for k in culled_v if k >= 0], None
+    grown = tuple(max(a, b) for a, b in
+                  zip(buckets, _buckets_for(counts, K, P, F, O, Q)))
+    _bucket_memo[pending["key"]] = grown
+    redo_state, vec = _ba_cull_device(
+        pending["pre_state"], pending["cam"], pending["center"],
+        pending["max_kfs"], *grown, pending["max_cull"])
+    vec = np.asarray(vec)
+    return False, [int(k) for k in vec[5:] if k >= 0], redo_state
+
+
+def local_ba_and_cull_step(state: ms.MapState, cam, center_kf: int,
+                           max_kfs: int = 10, max_cull: int = 2):
+    """Combined BA+cull (dispatch + immediate read).  Returns
+    (state, culled_slots list)."""
+    pend = ba_cull_dispatch(state, cam, center_kf, max_kfs, max_cull)
+    fit, culled, redo = ba_cull_read(pend)
+    return (pend["state"] if fit else redo), culled
 
 
 def global_ba_step(state: ms.MapState, cam, n_iters: int = 10,

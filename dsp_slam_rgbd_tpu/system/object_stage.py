@@ -58,12 +58,14 @@ def _associate_device(state, det_t_co, det_valid, t_cw):
                             unmatched.astype(jnp.int32)])
 
 
-def associate_batch(state, detections, kf_slot):
-    """Associate a keyframe's detections with existing objects.
+def associate_dispatch(state, detections, t_cw):
+    """Dispatch the association program; returns the device result vector.
 
     Pads to a fixed capacity bucket (one compiled program per bucket — a
     raw per-count program recompiles for every distinct detection count).
-    Returns (assoc (O,) np, unmatched_det_indices list)."""
+    `t_cw` is the keyframe pose passed DIRECTLY (not read back from the
+    map), so this can dispatch before the keyframe insert and its fetch
+    (`associate_read`) overlaps the whole fused point stage."""
     D = len(detections)
     Dcap = bucket(D, minimum=1, cap=max(D, 1))
     det_t = np.zeros((Dcap, 4, 4), np.float32)
@@ -72,13 +74,25 @@ def associate_batch(state, detections, kf_slot):
         det_t[i] = d.t_co
     det_valid = np.zeros(Dcap, bool)
     det_valid[:D] = True
-    out = np.asarray(_associate_device(
-        state, jnp.asarray(det_t), jnp.asarray(det_valid),
-        state.kf_pose[kf_slot]))
-    O = state.obj_valid.shape[0]
-    assoc = out[:O]
-    unmatched = out[O:].astype(bool)
+    return _associate_device(state, jnp.asarray(det_t),
+                             jnp.asarray(det_valid), t_cw), D
+
+
+def associate_read(pending, n_obj: int):
+    """Fetch + unpack an `associate_dispatch` result."""
+    vec, D = pending
+    out = np.asarray(vec)
+    assoc = out[:n_obj]
+    unmatched = out[n_obj:].astype(bool)
     return assoc, [int(i) for i in np.nonzero(unmatched)[0] if i < D]
+
+
+def associate_batch(state, detections, kf_slot):
+    """Associate a keyframe's detections with existing objects (dispatch +
+    immediate read).  Returns (assoc (O,) np, unmatched_det_indices)."""
+    return associate_read(
+        associate_dispatch(state, detections, state.kf_pose[kf_slot]),
+        state.obj_valid.shape[0])
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +249,13 @@ def recon_unmatched(params, spec, cfg, state, detections, det_indices,
         params, spec, cfg, state, arrs["t_cam_obj"], arrs["pts"],
         arrs["pts_mask"], arrs["rays"], arrs["ray_mask"], arrs["depth"],
         arrs["fg_mask"], arrs["code_init"], jnp.asarray(valid))
+    return res, bb_min, bb_max, flags, Ucap, U
+
+
+def recon_unmatched_read(pending):
+    """Fetch + unpack a `recon_unmatched` result — call AFTER dispatching
+    downstream device work (local BA) so the flags round trip overlaps it."""
+    res, bb_min, bb_max, flags, Ucap, U = pending
     flags = np.asarray(flags)  # the object stage's single blocking fetch
     good = flags[:Ucap].astype(bool)
     obj_valid = flags[Ucap:].astype(bool)

@@ -266,32 +266,57 @@ class SLAMSystem:
         # recycled after culling, so point-culling age must come from an
         # ever-increasing counter, not the slot index
         kid = self.n_kf
-        self.state = lm.insert_keyframe(self.state, frame, slot,
-                                        self.tracker.frame_id)
+        # EARLY dispatch of object association (it reads only object fields
+        # + the frame pose, passed directly): its result fetch inside
+        # _object_stage then overlaps the fused point stage below instead
+        # of paying its own tunnel round trip
+        assoc_pending = None
+        if detections and self.decoder_params is not None:
+            from dsp_slam_rgbd_tpu.system import object_stage as ostage
+            from dsp_slam_rgbd_tpu.system.detections import (MaskLabel,
+                                                             MonoDetection)
+
+            if not isinstance(detections[0], (MaskLabel, MonoDetection)):
+                assoc_pending = ostage.associate_dispatch(
+                    self.state, detections, frame.t_cw)
+        # insert + spawn + triangulate + fuse + cull + geometry as ONE
+        # device program (six separate dispatches paid ~5 ms of program
+        # overhead each on a v5e — profiled)
+        stereo = self.cfg.sensor in ("stereo", "rgbd")
+        self.state = lm.kf_point_stage(
+            self.state, self.cfg.cam, slot, frame, self.tracker.frame_id,
+            self.cfg.tracking.th_depth * self.cfg.cam.bf / self.cfg.cam.fx,
+            kid, stereo,
+            n_neighbors=10 if stereo else 20,
+            min_obs_after=4 if stereo else 3)
         self._mark_kf(slot, True)
-        if self.cfg.sensor in ("stereo", "rgbd"):
-            self.state = lm.spawn_depth_points(
-                self.state, self.cfg.cam, slot, frame,
-                self.cfg.tracking.th_depth * self.cfg.cam.bf / self.cfg.cam.fx,
-                first_id=kid,
-            )
-        self.state = lm.triangulate_new_points(
-            self.state, self.cfg.cam, slot,
-            # reference nn: 10 covisible neighbors stereo, 20 mono (:259)
-            n_neighbors=10 if self.cfg.sensor in ("stereo", "rgbd") else 20,
-            first_id=kid)
-        self.state = lm.fuse_neighbors(self.state, self.cfg.cam, slot)
-        self.state = lm.cull_points(
-            self.state, kid,
-            min_obs_after=4 if self.cfg.sensor in ("stereo", "rgbd") else 3)
-        self.state = lm.update_point_geometry(self.state)
 
+        recon_pending = None
         if detections:
-            self._object_stage(slot, frame, detections)
+            recon_pending = self._object_stage(slot, frame, detections,
+                                               assoc_pending)
 
-        self.state = lm.local_ba_step(self.state, self.cfg.cam, slot,
+        # combined BA + keyframe-cull: ONE program, ONE tail fetch.  The
+        # reconstruction-flags fetch happens after the dispatch, so its
+        # round trip overlaps the solve; new objects insert on the
+        # optimistic post-BA state (their first pose edge joins the next
+        # keyframe's BA window, like the reference's asynchronous
+        # LocalMapping object stage).
+        pend_ba = lm.ba_cull_dispatch(self.state, self.cfg.cam, slot,
                                       self.cfg.map.local_window)
-        self.state, culled = lm.cull_keyframes(self.state, slot)
+        self.state = pend_ba["state"]
+        ins_args = None
+        if recon_pending is not None:
+            ins_args = self._finish_new_objects(slot, recon_pending)
+        fit, culled, redo = lm.ba_cull_read(pend_ba)
+        if not fit:
+            # rare bucket overflow: adopt the re-solved state and re-apply
+            # the object insert on top of it
+            self.state = redo
+            if ins_args is not None:
+                from dsp_slam_rgbd_tpu.system import object_stage as ostage
+
+                self.state = ostage.insert_new_objects(self.state, *ins_args)
         for c in culled:
             self._mark_kf(c, False)
             self._on_keyframe_culled(c, fallback=slot)
@@ -303,11 +328,14 @@ class SLAMSystem:
         self._loop_stage(slot)
 
     # ------------------------------------------------------------------
-    def _object_stage(self, kf_slot: int, frame, detections):
+    def _object_stage(self, kf_slot: int, frame, detections,
+                      assoc_pending=None):
         """Associate detections, fit/update objects, record observations
-        (`LocalMapping_util.cc` object stage)."""
+        (`LocalMapping_util.cc` object stage).  Returns a pending
+        unmatched-reconstruction handle for `_finish_new_objects` (stereo
+        path), or None."""
         if self.decoder_params is None:
-            return
+            return None
         from dsp_slam_rgbd_tpu.system import mono_objects
         from dsp_slam_rgbd_tpu.system.detections import (
             MaskLabel, MonoDetection, mono_detection_from_mask)
@@ -349,8 +377,12 @@ class SLAMSystem:
         # (`LocalMapping_util.cc:86,158`) ----
         from dsp_slam_rgbd_tpu.system import object_stage as ostage
 
-        assoc, unmatched_idx = ostage.associate_batch(
-            self.state, detections, kf_slot)
+        if assoc_pending is not None:
+            assoc, unmatched_idx = ostage.associate_read(
+                assoc_pending, self.state.obj_valid.shape[0])
+        else:
+            assoc, unmatched_idx = ostage.associate_batch(
+                self.state, detections, kf_slot)
         a_rows = np.nonzero(assoc >= 0)[0]
         if len(a_rows):
             Acap = ostage.bucket(len(a_rows))
@@ -372,27 +404,14 @@ class SLAMSystem:
                 jnp.asarray(det_t), jnp.asarray(det_pts),
                 jnp.asarray(det_mask), kf_slot, jnp.asarray(qs))
 
+        pending = None
         if unmatched_idx:
             min_cap = self._recon_mesh.devices.shape[0] \
                 if self._recon_mesh is not None else 1
-            res, bb_min, bb_max, good, obj_valid_np, _U = \
-                ostage.recon_unmatched(
-                    self.decoder_params, self.decoder_spec, self.cfg.recon,
-                    self.state, detections, unmatched_idx,
-                    mesh=self._recon_mesh, min_cap=min_cap)
-            Ucap = len(good)
-            slots = np.full(Ucap, -1, np.int64)
-            free = np.nonzero(~obj_valid_np)[0]
-            gi = np.nonzero(good)[0]
-            take = min(len(gi), len(free))
-            slots[gi[:take]] = free[:take]
-            ok = good & (slots >= 0)
-            if ok.any():
-                qs = self._oobs_slots(slots, ok)
-                self.state = ostage.insert_new_objects(
-                    self.state, jnp.asarray(slots), jnp.asarray(ok),
-                    res.t_cam_obj, res.code, bb_min, bb_max, kf_slot,
-                    self.n_kf, jnp.asarray(qs))
+            pending = ostage.recon_unmatched(
+                self.decoder_params, self.decoder_spec, self.cfg.recon,
+                self.state, detections, unmatched_idx,
+                mesh=self._recon_mesh, min_cap=min_cap)
 
         keep = obj_mod.cull_objects(
             self.state.obj_valid, self.state.obj_n_obs,
@@ -405,6 +424,30 @@ class SLAMSystem:
         ] & (self.state.oobs_obj >= 0)
         self.state = self.state._replace(obj_valid=keep,
                                          oobs_valid=oobs_live)
+        return pending
+
+    def _finish_new_objects(self, kf_slot: int, pending):
+        """Read the unmatched-reconstruction flags and scatter every
+        accepted object into the map (one dispatch)."""
+        from dsp_slam_rgbd_tpu.system import object_stage as ostage
+
+        res, bb_min, bb_max, good, obj_valid_np, _U = \
+            ostage.recon_unmatched_read(pending)
+        Ucap = len(good)
+        slots = np.full(Ucap, -1, np.int64)
+        free = np.nonzero(~obj_valid_np)[0]
+        gi = np.nonzero(good)[0]
+        take = min(len(gi), len(free))
+        slots[gi[:take]] = free[:take]
+        ok = good & (slots >= 0)
+        if not ok.any():
+            return None
+        qs = self._oobs_slots(slots, ok)
+        ins_args = (jnp.asarray(slots), jnp.asarray(ok), res.t_cam_obj,
+                    res.code, bb_min, bb_max, kf_slot, self.n_kf,
+                    jnp.asarray(qs))
+        self.state = ostage.insert_new_objects(self.state, *ins_args)
+        return ins_args
 
     def _on_keyframe_culled(self, culled: int, fallback: int):
         """Purge a culled KF from the BoW database and re-anchor trajectory

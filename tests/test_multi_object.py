@@ -75,3 +75,69 @@ def test_multi_object_and_dynamics(tmp_path):
 
     ids, poses, codes = load_map_objects(str(tmp_path / "MapObjects.txt"))
     assert len(ids) == 2
+
+
+def test_object_stage_batched_single_dispatch(monkeypatch):
+    """8 detections on a keyframe cost ONE batched reconstruction program
+    and ONE batched pose-refinement program — not 8 serialized dispatches
+    (the reference's GIL-serialized per-detection calls,
+    `LocalMapping_util.cc:86,158`, are the antipattern being replaced)."""
+    from dsp_slam_rgbd_tpu.system import object_stage as ostage
+
+    calls = {"recon": 0, "refine": 0, "single": 0}
+    orig_recon = ostage.recon_unmatched
+    orig_refine = ostage.refine_associated
+
+    def count_recon(*a, **k):
+        calls["recon"] += 1
+        return orig_recon(*a, **k)
+
+    def count_refine(*a, **k):
+        calls["refine"] += 1
+        return orig_refine(*a, **k)
+
+    from dsp_slam_rgbd_tpu.recon import optimizer as recon_opt
+
+    orig_single = recon_opt.reconstruct_object
+
+    def no_concrete_single(*a, **k):
+        # vmap TRACES through reconstruct_object once per batched program —
+        # that IS the batched path.  A call with CONCRETE detection arrays
+        # would be the reference's per-detection serialized dispatch.
+        import jax.core as jc
+
+        if not any(isinstance(x, jc.Tracer) for x in a):
+            calls["single"] += 1
+        return orig_single(*a, **k)
+
+    monkeypatch.setattr(ostage, "recon_unmatched", count_recon)
+    monkeypatch.setattr(ostage, "refine_associated", count_refine)
+    monkeypatch.setattr(recon_opt, "reconstruct_object",
+                        no_concrete_single)
+
+    from dataclasses import replace
+
+    texture = make_texture(np.random.default_rng(0))
+    rng = np.random.default_rng(2)
+    cfg = make_cfg()
+    cfg = replace(cfg, map=replace(cfg.map, max_obj=12, max_oobs=96))
+    sys_ = SLAMSystem(cfg, decoder_params={"layers": []},
+                      decoder_spec=SPEC)
+    centers = [[-3.0 + 0.9 * j, 0.2 * (j % 2), 5.5 + 0.5 * j]
+               for j in range(8)]
+    n_kf_frames = 0
+    for i in range(8):
+        x = i * STEP
+        dets = [detection_for(c, x, rng) for c in centers]
+        out = sys_.track_stereo(render(texture, x),
+                                render(texture, x + BASELINE),
+                                timestamp=i * 0.1, detections=dets)
+        if out["new_kf"]:
+            n_kf_frames += 1
+    assert n_kf_frames >= 2
+    # one batched recon on the first object keyframe (8 new objects), one
+    # batched refine per subsequent object keyframe; NEVER per-detection
+    assert calls["single"] == 0
+    assert calls["recon"] <= n_kf_frames
+    assert 1 <= calls["refine"] <= n_kf_frames
+    assert int(np.asarray(sys_.state.obj_valid).sum()) == 8
