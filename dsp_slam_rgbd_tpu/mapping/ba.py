@@ -341,8 +341,19 @@ def global_ba(cam, prob: BAProblem, n_iters: int = 20, damping: float = 1e-3):
 # ---------------------------------------------------------------------------
 
 
-def _pcg_gn_step(cam, prob: BAProblem, damping: float, cg_iters: int):
-    """One GN step of the reduced (pose+object) system via PCG."""
+def _pcg_gn_step(cam, prob: BAProblem, damping: float, cg_iters: int,
+                 axis: str | None = None):
+    """One GN step of the reduced (pose+object) system via PCG.
+
+    axis: when set (inside `shard_map`), the observation/object-edge arrays
+    of `prob` are SHARDS and every edge-derived reduction crosses shards
+    with an explicit `lax.psum` over `axis` — the Schur-complement
+    boundary exchange of SURVEY §2.4 riding ICI/DCN: one psum to merge the
+    assembled normal-equation blocks, one per CG matvec to merge each
+    shard's coupling contributions.  Pose/point state stays replicated
+    (the reduced vector is (B, 6) — tiny next to the edge set)."""
+    ps = (lambda t: jax.lax.psum(t, axis)) if axis is not None \
+        else (lambda t: t)
     K = prob.kf_pose.shape[0]
     P = prob.pts.shape[0]
     O = prob.obj_pose.shape[0]
@@ -388,17 +399,20 @@ def _pcg_gn_step(cam, prob: BAProblem, damping: float, cg_iters: int):
         -jnp.einsum("ndi,nd->ni", Jo_o, e_o * w_o[:, None])
     )
 
+    # boundary exchange #1: merge per-shard normal-equation blocks
+    Hcc, bc, Hpp, bp = ps((Hcc, bc, Hpp, bp))
+
     eye3 = jnp.eye(3)
     pt_live = prob.pt_valid
     Hpp_d = Hpp + 1e-6 * eye3
     Hpp_d = jnp.where(pt_live[:, None, None], Hpp_d, eye3)
     Hpp_inv = jnp.linalg.inv(Hpp_d)
 
-    # reduced RHS: bc − Hcp Hpp⁻¹ bp, edgewise
+    # reduced RHS: bc − Hcp Hpp⁻¹ bp, edgewise (edge part crosses shards)
     hb = jnp.einsum("pij,pj->pi", Hpp_inv, bp)           # (P, 3)
-    bc_red = bc.at[prob.obs_kf].add(
-        -jnp.einsum("nij,nj->ni", Ccp, hb[prob.obs_pt])
-    )
+    bc_red = bc - ps(jnp.zeros((B, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nij,nj->ni", Ccp, hb[prob.obs_pt])
+    ))
 
     fixed = jnp.concatenate(
         [prob.kf_fixed | ~prob.kf_valid, ~prob.obj_valid], axis=0
@@ -409,7 +423,8 @@ def _pcg_gn_step(cam, prob: BAProblem, damping: float, cg_iters: int):
     contrib = jnp.einsum(
         "nij,njk,nlk->nil", Ccp, Hpp_inv[prob.obs_pt], Ccp
     )  # (N, 6, 6)
-    Sdiag0 = Hcc.at[prob.obs_kf].add(-contrib)
+    Sdiag0 = Hcc - ps(
+        jnp.zeros((B, 6, 6)).at[prob.obs_kf].add(contrib))
     # LM-style multiplicative damping (see the dense path): λ·diag + floor
     dvec = jnp.maximum(
         jnp.diagonal(Sdiag0, axis1=-2, axis2=-1), 1e-6
@@ -422,20 +437,23 @@ def _pcg_gn_step(cam, prob: BAProblem, damping: float, cg_iters: int):
     def matvec(x):
         x = jnp.where(free[:, None], x, 0.0)
         y = jnp.einsum("bij,bj->bi", Hcc, x)
-        u = jnp.zeros((P, 3)).at[prob.obs_pt].add(
+        # boundary exchange #2 (per CG iteration): each shard's coupling
+        # contributions merge via psum — first the point-side accumulation,
+        # then the pose-side products
+        u = ps(jnp.zeros((P, 3)).at[prob.obs_pt].add(
             jnp.einsum("nij,ni->nj", Ccp, x[prob.obs_kf])
-        )
+        ))
         v = jnp.einsum("pij,pj->pi", Hpp_inv, u)
-        y = y.at[prob.obs_kf].add(
+        y_edge = jnp.zeros((B, 6)).at[prob.obs_kf].add(
             -jnp.einsum("nij,nj->ni", Ccp, v[prob.obs_pt])
         )
-        y = y.at[prob.oobs_kf].add(
+        y_edge = y_edge.at[prob.oobs_kf].add(
             jnp.einsum("mij,mj->mi", ko, x[K + prob.oobs_obj])
         )
-        y = y.at[K + prob.oobs_obj].add(
+        y_edge = y_edge.at[K + prob.oobs_obj].add(
             jnp.einsum("mij,mi->mj", ko, x[prob.oobs_kf])
         )
-        y = y + damp_vec * x
+        y = y + ps(y_edge) + damp_vec * x
         return jnp.where(free[:, None], y, 0.0)
 
     b = jnp.where(free[:, None], bc_red, 0.0)
@@ -463,9 +481,9 @@ def _pcg_gn_step(cam, prob: BAProblem, damping: float, cg_iters: int):
     dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
 
     # back-substitute points: dp = Hpp⁻¹ (bp − Hcpᵀ dc), edgewise
-    u = jnp.zeros((P, 3)).at[prob.obs_pt].add(
+    u = ps(jnp.zeros((P, 3)).at[prob.obs_pt].add(
         jnp.einsum("nij,ni->nj", Ccp, dx[prob.obs_kf])
-    )
+    ))
     dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
     dp = jnp.where(
         pt_live[:, None] & jnp.all(jnp.isfinite(dp), -1, keepdims=True),
@@ -479,8 +497,8 @@ def _pcg_gn_step(cam, prob: BAProblem, damping: float, cg_iters: int):
 
     live = prob.obs_mask & prob.pt_valid[prob.obs_pt] \
         & prob.kf_valid[prob.obs_kf]
-    cost = jnp.sum(jnp.where(live, chi2, 0.0)) \
-        + jnp.sum(jnp.where(prob.oobs_mask, chi2_o, 0.0))
+    cost = ps(jnp.sum(jnp.where(live, chi2, 0.0))
+              + jnp.sum(jnp.where(prob.oobs_mask, chi2_o, 0.0)))
     return prob._replace(kf_pose=new_kf, obj_pose=new_obj, pts=new_pts), cost
 
 
@@ -490,11 +508,25 @@ def _global_ba_pcg_jit(cam, prob: BAProblem, stage1_iters: int,
                        stage2_iters: int, cg_iters: int,
                        damping: float) -> BAResult:
     def run(prob, n):
+        # LM step control, like local_ba: a PCG-GN step is accepted only
+        # if the Huber cost decreases (fixed-λ GN diverges the same way
+        # on weak geometry — see local_ba)
         def body(i, carry):
-            p, _ = carry
-            return _pcg_gn_step(cam, p, damping, cg_iters)
+            p, lam, cost_p = carry
+            cand, _ = _pcg_gn_step(cam, p, lam, cg_iters)
+            cost_c = _robust_cost(cam, cand)
+            accept = cost_c <= cost_p
+            p_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), cand, p)
+            lam_next = jnp.where(accept,
+                                 jnp.maximum(lam * 0.5, 1e-5),
+                                 jnp.minimum(lam * 8.0, 1e3))
+            return (p_next, lam_next, jnp.where(accept, cost_c, cost_p))
 
-        return jax.lax.fori_loop(0, n, body, (prob, jnp.asarray(0.0)))
+        cost0 = _robust_cost(cam, prob)
+        p, _, c = jax.lax.fori_loop(
+            0, n, body, (prob, jnp.asarray(damping), cost0))
+        return p, c
 
     prob, _ = run(prob, stage1_iters)
     prob = _gate(cam, prob)

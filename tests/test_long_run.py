@@ -277,3 +277,13 @@ def test_cli_loop_closing(loop_world, tmp_path):
     n_loops = int(m[0].split("loop closures:")[1].strip())
     assert n_loops >= 1, proc.stdout[-2000:]
     assert (out_dir / "CameraTrajectory.txt").exists()
+    # machine-readable run summary (the structured exit-time stats of the
+    # reference dsp_slam.cc:109-118)
+    import json
+
+    summary = json.load(open(out_dir / "summary.json"))
+    assert summary["frames"] == N_LAP + 1 + LAP2_EXTRA
+    assert summary["loop_closures"] == n_loops
+    for k in ("fps", "track_ms_p50", "track_ms_p90", "track_ms_p99",
+              "n_kf", "n_points", "final_status"):
+        assert k in summary, k

@@ -74,3 +74,28 @@ def test_sharded_recon_matches_single_device():
         atol=1e-4,
     )
     assert bool(jnp.all(out_sharded.is_good))
+
+
+def test_sharded_pcg_matches_replicated():
+    """Explicitly sharded PCG (edge block rows over the mesh, hand-placed
+    psum boundary exchange) matches the single-device PCG solve."""
+    from dsp_slam_rgbd_tpu.mapping import ba
+    from dsp_slam_rgbd_tpu.parallel import sharded_ba
+    from test_mapping import CAM, pose_errors, sim_ba_problem
+
+    rng = np.random.default_rng(13)
+    prob, kf_true, pts_true, _ = sim_ba_problem(rng, stereo=True)
+    ref = ba.global_ba_pcg(CAM, prob)
+
+    m = meshmod.make_mesh(n_obj=1, n_ray=8)
+    out = sharded_ba.global_ba_pcg_sharded(CAM, prob, m)
+    # psum reduction order differs from the single-device sum, so the LM
+    # trajectory can diverge by f32 noise — compare optima loosely and the
+    # ground-truth recovery tightly
+    np.testing.assert_allclose(np.asarray(out.kf_pose),
+                               np.asarray(ref.kf_pose), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out.pts), np.asarray(ref.pts),
+                               atol=5e-2)
+    err = pose_errors(np.asarray(out.kf_pose), kf_true)
+    err_ref = pose_errors(np.asarray(ref.kf_pose), kf_true)
+    assert err.mean() < max(0.05, 1.5 * err_ref.mean())
