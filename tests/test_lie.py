@@ -159,3 +159,31 @@ def test_batched_vmap():
     assert Ts.shape == (32, 4, 4)
     back = jax.vmap(lie.log_se3)(Ts)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(back), atol=1e-3)
+
+
+def test_orthonormalize_so3():
+    """Newton symmetric orthogonalization: projects defective rotations
+    back onto SO(3) (quadratic convergence for small defects) and is the
+    identity on exact rotations.  This primitive guards the pose chains
+    T_t·inv(T_{t-1}) whose transpose-inverse amplifies any defect
+    exponentially (measured 2x/frame on the long-run fixture)."""
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        w = rng.standard_normal(3)
+        R = np.asarray(lie.exp_so3(jnp.asarray(w, jnp.float32)))
+        # identity on exact rotations
+        R2 = np.asarray(lie.orthonormalize_so3(jnp.asarray(R)))
+        assert np.abs(R2 - R).max() < 1e-6
+        # projects a 1e-2-defective rotation to orthonormality
+        D = R + rng.standard_normal((3, 3)) * 1e-2
+        D3 = np.asarray(lie.orthonormalize_so3(jnp.asarray(D, jnp.float32)))
+        assert np.abs(D3 @ D3.T - np.eye(3)).max() < 1e-5
+        assert np.abs(D3 - D).max() < 0.05  # stays close to the input
+    # batched SE(3) form
+    Ts = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    Ts[:, :3, :3] += rng.standard_normal((4, 3, 3)) * 5e-3
+    Ts[:, :3, 3] = rng.standard_normal((4, 3))
+    out = np.asarray(lie.orthonormalize_se3(jnp.asarray(Ts)))
+    for T in out:
+        assert np.abs(T[:3, :3] @ T[:3, :3].T - np.eye(3)).max() < 1e-5
+    np.testing.assert_allclose(out[:, :3, 3], Ts[:, :3, 3])

@@ -67,9 +67,14 @@ def run_worker(args):
     spec = deepsdf.DecoderSpec()
     params = jax.tree_util.tree_map(
         np.asarray, deepsdf.init_params(spec, jax.random.PRNGKey(0)))
-    cfg = ReconConfig()
+    # LIGHT budget: the multiprocess mode simulates the DCN tier on CPU
+    # where the full KITTI budget (1.08 TFLOP/object) takes ~minutes per
+    # rep — this row measures cross-process SCALING, not absolute
+    # throughput (the TPU path above measures that)
+    cfg = ReconConfig(num_iterations=2, num_depth_samples=10,
+                      max_grad_points=256, max_valid_samples=1024)
     rng = np.random.default_rng(0)
-    N_PTS, N_RAYS = 256, 512
+    N_PTS, N_RAYS = 128, 128
     T = np.eye(4, dtype=np.float32)
     T[:3, 3] = [0, 0, 8.0]
     B = args.batch_per_device * n_dev
