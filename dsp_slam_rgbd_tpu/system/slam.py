@@ -11,6 +11,8 @@ async dispatch overlaps device work where the threads used to.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -24,6 +26,30 @@ from dsp_slam_rgbd_tpu.mapping import objects as obj_mod
 from dsp_slam_rgbd_tpu.ops import lie
 from dsp_slam_rgbd_tpu.system import io as io_mod
 from dsp_slam_rgbd_tpu.tracking.tracker import Tracker
+
+
+@partial(jax.jit, static_argnames=("max_cands",))
+def _loop_candidates_device(state, db, kf_slot, recent_after_fid,
+                            max_cands: int):
+    """Loop-candidate retrieval + the candidates' covisible rows as ONE
+    program (one fetch): returns a (2 + max_cands, max_cands + K) f32
+    matrix packing [cand_idx pad | -], [- | scores], [- | rows...]."""
+    K = state.kf_valid.shape[0]
+    W = covis.covisibility_matrix(state)
+    connected = (W[kf_slot] >= covis.MIN_WEIGHT).at[kf_slot].set(True)
+    recent = state.kf_frame_id >= recent_after_fid
+    cand, scores = keyframe_db.detect_loop_candidates(
+        db, db.bow[kf_slot], connected | recent, W)
+    # first max_cands candidate indices (-1 pad)
+    vals, idx = jax.lax.top_k(cand.astype(jnp.int32), min(max_cands, K))
+    cand_idx = jnp.where(vals > 0, idx, -1).astype(jnp.int32)
+    rows = (W[jnp.maximum(cand_idx, 0)] >= covis.MIN_WEIGHT) \
+        & (cand_idx >= 0)[:, None]
+    out = jnp.zeros((2 + max_cands, max_cands + K))
+    out = out.at[0, :max_cands].set(cand_idx.astype(jnp.float32))
+    out = out.at[1, max_cands:].set(scores)
+    out = out.at[2:, max_cands:].set(rows.astype(jnp.float32))
+    return out
 
 
 class SLAMSystem:
@@ -559,28 +585,24 @@ class SLAMSystem:
         # cooldown boundary needs 3 more keyframes before it can close —
         # on short revisits the run ends first)
         in_cooldown = self.n_kf < self._last_loop_nkf + 10
-        W = covis.covisibility_matrix(self.state)
-        connected = (W[kf_slot] >= covis.MIN_WEIGHT)
-        connected = connected.at[kf_slot].set(True)
-        # also exclude temporally recent KFs
-        recent = jnp.asarray(
-            np.asarray(self.state.kf_frame_id)
-            >= self.tracker.frame_id - 2 * self.cfg.tracking.max_frames_between_kf
-        )
-        cand, scores = keyframe_db.detect_loop_candidates(
-            self.db, self.db.bow[kf_slot], connected | recent, W
-        )
-        # expand candidates into covisible groups from the device-resident
-        # W: gather only the (≤8) candidate rows instead of fetching the
-        # full (K, K) matrix (16 MB per keyframe at KITTI capacity)
+        # candidate retrieval + top-candidate covisible rows + scores in
+        # ONE device program / ONE fetch (was: candidate fetch, then a
+        # second fetch of the selected rows — two tunnel round trips per
+        # keyframe in vocabulary runs)
         MAX_CANDS = 8
-        cidx = np.nonzero(np.asarray(cand))[0][:MAX_CANDS]
+        out = np.asarray(_loop_candidates_device(
+            self.state, self.db, kf_slot,
+            jnp.int32(self.tracker.frame_id
+                      - 2 * self.cfg.tracking.max_frames_between_kf),
+            MAX_CANDS))
+        K = self.state.kf_valid.shape[0]
+        cand_idx = out[0, :MAX_CANDS].astype(np.int64)
+        scores = out[1, MAX_CANDS:MAX_CANDS + K]
+        rows = out[2:2 + MAX_CANDS, MAX_CANDS:MAX_CANDS + K] > 0.5
+        cidx = cand_idx[cand_idx >= 0]
         if len(cidx) == 0:
             self.consistency.update([])
             return
-        pad = np.zeros(MAX_CANDS, np.int64)
-        pad[: len(cidx)] = cidx
-        rows = np.asarray(W[jnp.asarray(pad)] >= covis.MIN_WEIGHT)
         groups = [
             set(np.nonzero(rows[i])[0].tolist()) | {int(cidx[i])}
             for i in range(len(cidx))
@@ -594,9 +616,8 @@ class SLAMSystem:
         # `LoopClosing::ComputeSim3`, LoopClosing.cc:241-270 — stopping at
         # the single best-scored one misses loops whose best-scored
         # candidate is a marginal view)
-        scores_np = np.asarray(scores)
         cands_sorted = sorted(set(consistent),
-                              key=lambda k: -float(scores_np[k]))
+                              key=lambda k: -float(scores[k]))
         fix_scale = self.cfg.sensor != "mono"
         res, best = None, -1
         for c in cands_sorted[:5]:
@@ -615,6 +636,7 @@ class SLAMSystem:
             fix_scale=fix_scale,
         )
         # fuse duplicated landmarks between the two sides of the loop
+        W = covis.covisibility_matrix(self.state)
         group_q = (W[kf_slot] >= covis.MIN_WEIGHT).at[kf_slot].set(True)
         group_c = (W[best] >= covis.MIN_WEIGHT).at[best].set(True)
         self.state, pt_remap = loop_closing.fuse_duplicate_points(
