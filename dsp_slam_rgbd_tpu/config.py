@@ -73,6 +73,11 @@ class SystemConfig:
     # pose (reference `Tracking.cc:759-794` + `Tworld_camera.*` yaml keys);
     # 4x4 row-major T_wc of the first frame, or None for identity
     t_world_camera0: tuple | None = None
+    # asynchronous keyframe stage (the reference's LocalMapping/LoopClosing
+    # threads, `System.cc:120-143`): keyframe mapping jobs run on a worker
+    # thread and their results are adopted exactly this many frames after
+    # enqueue (deterministic bounded staleness).  0 = fully synchronous.
+    async_kf_frames: int = 2
 
 
 def _parse_opencv_yaml(path: str) -> dict:

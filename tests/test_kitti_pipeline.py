@@ -94,6 +94,7 @@ def test_kitti_pipeline_with_objects(kitti_dir):
         img_l, img_r = seq.frame(i)
         sys_.track_stereo(img_l, img_r, timestamp=i * 0.1,
                           detections=seq.detections(i) or None)
+    sys_.flush()
     ok = np.asarray([o for _, _, o in sys_.tracker.trajectory])
     assert ok.mean() > 0.7
     valid = np.asarray(sys_.state.obj_valid)

@@ -171,6 +171,7 @@ def test_long_run_loop_closure(loop_world):
     sys_ = SLAMSystem(cfg, vocab=vocab)
     for i, (il, ir) in enumerate(frames):
         sys_.track_stereo(il, ir, timestamp=i * 0.1)
+    sys_.flush()
 
     traj = sys_.tracker.trajectory
     ok = np.asarray([o for _, _, o in traj])
@@ -233,6 +234,7 @@ def test_kf_capacity_exhaustion_observable():
             x = i * 0.08
             sys_.track_stereo(render(texture, x), render(texture, x + BASE),
                               timestamp=i * 0.1)
+        sys_.flush()
     assert sys_.kf_slots_exhausted > 0
     assert any(issubclass(w.category, RuntimeWarning) and
                "keyframe capacity" in str(w.message) for w in caught)

@@ -110,39 +110,39 @@ def test_system_loop_stage_closes_loop():
         branching=6, depth=3,
     )
     sys_ = SLAMSystem(cfg, vocab=vocab)
+    mp = sys_.mapping
+    mp.state = st
     sys_.state = st
     sys_.tracker.state = st
-    sys_.n_kf = 8
-    sys_.tracker.frame_id = 28
     for k in range(8):
-        sys_._update_bow(k)
+        mp._update_bow(k)
 
     # feed the returning keyframes through the loop stage; consistency
     # requires 3 consecutive detections before closing on the 4th
+    # (kid=7: eight keyframes exist)
     for q, frame_id in ((5, 20), (6, 24), (7, 28)):
-        sys_.tracker.frame_id = frame_id + 10  # keep candidates non-recent
-        sys_._loop_stage(q)
+        mp._loop_stage(q, kid=7, frame_id=frame_id + 10)
     # one more pass of the final keyframe to cross the consistency bar
-    sys_._loop_stage(7)
+    mp._loop_stage(7, kid=7, frame_id=38)
 
     assert sys_.loop_closures >= 1
     # post-loop global BA is STAGED (the reference's abortable-GBA-thread
     # role): one bounded slice ran at closure, the rest is owed and drained
     # on subsequent keyframes
-    assert 0 < sys_._gba_iters_left < 10
+    assert 0 < mp._gba_iters_left < 10
     drains = 0
-    while sys_._gba_iters_left > 0:
-        sys_._drain_gba_budget()
+    while mp._gba_iters_left > 0:
+        mp._drain_gba_budget()
         drains += 1
         assert drains <= 10
-    assert sys_._gba_iters_left == 0
+    assert mp._gba_iters_left == 0
     # KF7 should now coincide with KF0's (undrifted) viewpoint: the
     # loop-correction pulls the drifted pose back
     e_before = np.asarray(lie.log_se3(
         jnp.asarray(st.kf_pose[7]) @ lie.inv_se3(st.kf_pose[0])
     ))
     e_after = np.asarray(lie.log_se3(
-        sys_.state.kf_pose[7] @ lie.inv_se3(sys_.state.kf_pose[0])
+        mp.state.kf_pose[7] @ lie.inv_se3(mp.state.kf_pose[0])
     ))
     assert np.linalg.norm(e_after) < 0.6 * np.linalg.norm(e_before)
 
@@ -153,11 +153,12 @@ def test_object_obs_ring_is_per_object():
     cfg = make_cfg()  # map: max_obj=4, max_oobs=64 -> 16 slots per object
     sys_ = SLAMSystem(cfg)
     t = np.eye(4, dtype=np.float32)
-    sys_._add_object_obs(1, 0, t)            # one edge for object 1
+    mp = sys_.mapping
+    mp._add_object_obs(1, 0, t)              # one edge for object 1
     for k in range(40):                      # object 0 floods its ring
-        sys_._add_object_obs(0, k % 8, t)
-    oobs_obj = np.asarray(sys_.state.oobs_obj)
-    oobs_valid = np.asarray(sys_.state.oobs_valid)
+        mp._add_object_obs(0, k % 8, t)
+    oobs_obj = np.asarray(mp.state.oobs_obj)
+    oobs_valid = np.asarray(mp.state.oobs_valid)
     # object 1's edge survived
     assert ((oobs_obj == 1) & oobs_valid).sum() == 1
     # object 0 occupies exactly its own region (16 slots)

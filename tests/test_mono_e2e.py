@@ -17,6 +17,7 @@ def test_mono_e2e():
     n = 10
     for i in range(n):
         sys_.track_mono(render(texture, i * step), timestamp=i * 0.1)
+    sys_.flush()
 
     traj = sys_.tracker.trajectory
     ok = np.asarray([o for _, _, o in traj])

@@ -99,16 +99,16 @@ def test_mono_object_from_disk_masks(tmp_path):
 
     for i in range(N_KF):
         st = _insert_kf(st, i, cam_x=0.08 * i)
-        sys_.state = st
-        sys_.n_kf = i
+        sys_.mapping.state = st
         mask = _render_mask(st, i)
         seq_mod.save_mask_labels(str(labels / f"{i:06d}_masks.npz"),
                                  mask[None])
         # reload from disk — the sequence-loader path
         dets = seq_mod.load_mask_labels(str(labels / f"{i:06d}_masks.npz"))
         assert len(dets) == 1 and isinstance(dets[0], MaskLabel)
-        sys_._object_stage(i, _frame_for_kf(st, i), dets)
-        st = sys_.state
+        sys_.mapping._object_stage(i, _frame_for_kf(st, i), dets,
+                                   None, kid=i)
+        st = sys_.mapping.state
 
     assert bool(st.obj_valid[0])
     assert bool(st.obj_recon[0])

@@ -149,14 +149,14 @@ def test_system_dispatches_mono_detections():
     st = _make_state(pts_w)
     for i in range(16):
         st = _insert_kf(st, i, cam_x=0.08 * i)
-    sys_.state = st
+    sys_.mapping.state = st
     for i in range(16):
-        sys_.n_kf = i
-        sys_._object_stage(i, None, [_detection(rng)])
-    assert bool(sys_.state.obj_valid[0])
-    assert bool(sys_.state.obj_recon[0])
-    assert int(np.asarray(sys_.state.oobs_valid).sum()) >= 1
-    c = np.asarray(sys_.state.obj_pose)[0][:3, 3]
+        sys_.mapping._object_stage(i, None, [_detection(rng)], None, kid=i)
+    st = sys_.mapping.state
+    assert bool(st.obj_valid[0])
+    assert bool(st.obj_recon[0])
+    assert int(np.asarray(st.oobs_valid).sum()) >= 1
+    c = np.asarray(st.obj_pose)[0][:3, 3]
     np.testing.assert_allclose(c, CENTER_W, atol=0.2 * R_TRUE)
 
 

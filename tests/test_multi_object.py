@@ -53,6 +53,7 @@ def test_multi_object_and_dynamics(tmp_path):
         ]
         sys_.track_stereo(render(texture, x), render(texture, x + BASELINE),
                           timestamp=i * 0.1, detections=dets)
+    sys_.flush()
 
     valid = np.asarray(sys_.state.obj_valid)
     assert valid.sum() == 3
@@ -134,6 +135,7 @@ def test_object_stage_batched_single_dispatch(monkeypatch):
                                 timestamp=i * 0.1, detections=dets)
         if out["new_kf"]:
             n_kf_frames += 1
+    sys_.flush()
     assert n_kf_frames >= 2
     # one batched recon on the first object keyframe (8 new objects), one
     # batched refine per subsequent object keyframe; NEVER per-detection

@@ -23,6 +23,7 @@ def test_rgbd_e2e_tracking():
     for i in range(n):
         x = i * STEP
         sys_.track_rgbd(render(texture, x), depth_map(x), timestamp=i * 0.1)
+    sys_.flush()
 
     traj = sys_.tracker.trajectory
     ok = np.asarray([o for _, _, o in traj])

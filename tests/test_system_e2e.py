@@ -105,6 +105,7 @@ def run_sequence(system, texture, with_detections=False):
                                    depth=depths, n_fg=len(rays))]
         out = system.track_stereo(img_l, img_r, timestamp=i * 0.1,
                                   detections=dets)
+    system.flush()  # adopt in-flight async mapping jobs before asserting
     return out
 
 

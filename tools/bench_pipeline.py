@@ -122,6 +122,7 @@ def run(frames: int = 36, warmup: int = 6) -> dict:
     for i, frame in enumerate(FramePrefetcher(system.tracker, iter(seq),
                                               sensor="stereo", depth=2)):
         out = system.track_frame(frame, detections=dets_for(i))
+    system.flush()
     np.asarray(system.state.kf_pose[0])  # drain the dispatch queue
     system.reset()
 
@@ -139,6 +140,7 @@ def run(frames: int = 36, warmup: int = 6) -> dict:
                        else system.state.kf_pose[0])
         dt = time.perf_counter() - t0
         t_frames.append((dt, out["new_kf"]))
+    system.flush()  # adopt trailing async mapping jobs (counted in wall)
     np.asarray(system.state.kf_pose[0])  # drain trailing async KF work
     # FPS from the WALL CLOCK of the whole pass: queue waits on the
     # prefetcher (if the upload thread ever falls behind) count too
