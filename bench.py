@@ -105,11 +105,30 @@ def main():
     M = cfg.num_depth_samples
     K_grad = cfg.max_grad_points
     D = 7 + cfg.code_len
-    flops_obj = cfg.num_iterations * (
-        N_RAYS * M * f_fwd                      # value pass
-        + 3 * K_grad * f_fwd                    # render Jacobian sweep
-        + 3 * N_PTS * f_fwd                     # SDF term sweep
-        + 2 * (K_grad + N_PTS) * D * D          # H/b assembly
+    # two-phase schedule (recon/optimizer.py): nc coarse iterations at
+    # coarse_samples over all rays, then fine iterations at M over the
+    # compacted active-ray set — the MFU below is against the FLOPs the
+    # algorithm ACTUALLY executes, not the reference's dense budget
+    nc = min(cfg.coarse_iterations, cfg.num_iterations) \
+        if cfg.coarse_samples > 0 else 0
+    r_fine = int(np.ceil(N_RAYS * cfg.active_ray_fraction)) \
+        if nc > 0 else N_RAYS
+    value_pts = nc * N_RAYS * cfg.coarse_samples \
+        + (cfg.num_iterations - nc) * r_fine * M
+    flops_obj = (
+        value_pts * f_fwd                       # value pass (both phases)
+        + cfg.num_iterations * (
+            3 * K_grad * f_fwd                  # render Jacobian sweep
+            + 3 * N_PTS * f_fwd                 # SDF term sweep
+            + 2 * (K_grad + N_PTS) * D * D      # H/b assembly
+        )
+    )
+    # the reference's dense budget for the same fit (10 iters x R x M dense
+    # value pass) — what one reconstruction is WORTH, for the vs_baseline
+    # throughput comparison at equal work
+    flops_obj_ref_budget = cfg.num_iterations * (
+        N_RAYS * M * f_fwd + 3 * K_grad * f_fwd + 3 * N_PTS * f_fwd
+        + 2 * (K_grad + N_PTS) * D * D
     )
     peak_by_kind = {  # bf16 TFLOPS per chip
         "TPU v4": 275.0, "TPU v5": 459.0, "TPU v5p": 459.0,
@@ -128,6 +147,8 @@ def main():
         "mfu": round(model_tflops / peak, 4) if peak else None,
         "device_kind": kind,
         "flops_per_recon_g": round(flops_obj / 1e9, 1),
+        "ref_budget_flops_per_recon_g":
+            round(flops_obj_ref_budget / 1e9, 1),
     }
     # secondary metric in the same JSON line: whole-pipeline FPS (full
     # system loop on KITTI-size stereo — the reference's ~10 FPS envelope)

@@ -71,6 +71,12 @@ class RenderLossResult(NamedTuple):
     res: jnp.ndarray        # (K,)
     mask: jnp.ndarray       # (K,) live gradient points
     n_valid: jnp.ndarray    # scalar: in-sphere sample count (failure check)
+    # per-ray diagnostics for active-ray selection (coarse-to-fine phase 2,
+    # `optimizer.reconstruct_object`): depth residual and closest |SDF|
+    # along the ray — a ray whose chord never approaches the surface
+    # produces no gradient points and can be dropped from later iterations
+    res_ray: jnp.ndarray = None      # (R,) clamped depth residual
+    min_abs_sdf: jnp.ndarray = None  # (R,) min |SDF| over in-sphere samples
 
 
 def chord_sample_depths(t_obj_cam, ray_dirs, num_samples: int,
@@ -258,7 +264,9 @@ def compute_render_loss(params, spec, ray_dirs, ray_mask, depth_obs, t_obj_cam,
     dxo_dT = lie.points_to_pose_jacobian_sim3(pts_sel)
     jac_pose = jnp.einsum("ni,nij->nj", de_dxo, dxo_dT)
     jac_code = de_di[:, :-3]
-    return RenderLossResult(jac_pose, jac_code, res_sel, live, n_valid)
+    min_abs = jnp.min(jnp.where(valid, jnp.abs(sdf_vals), jnp.inf), axis=-1)
+    return RenderLossResult(jac_pose, jac_code, res_sel, live, n_valid,
+                            res_ray=res_ray, min_abs_sdf=min_abs)
 
 
 def compute_rotation_loss_sim3(t_obj_cam):

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dsp_slam_rgbd_tpu.ops import lie, robust
 from dsp_slam_rgbd_tpu.recon import losses
@@ -57,18 +58,47 @@ class ReconConfig(NamedTuple):
     # cars/chairs_64 architecture (mlp_sdf.compatible(spec)).
     use_pallas: bool = False
     pallas_interpret: bool = False  # CPU-interpreted kernel (tests only)
+    # ---- algorithmic FLOPs cuts (the dense chord value pass is ~85% of
+    # all reconstruction FLOPs at the KITTI budget; ROUND_NOTES r4) ----
+    # Coarse-to-fine sampling: the first `coarse_iterations` GN iterations
+    # run the render term at `coarse_samples` depth samples/ray (early
+    # iterations only need a descent DIRECTION; depth quantization noise
+    # ∝ chord/M washes out once the fine phase re-samples at full density).
+    # 0 disables (every iteration at num_depth_samples — the faithful
+    # parity budget, reference `config_kitti.json` num_depth_samples=50).
+    coarse_iterations: int = 0
+    coarse_samples: int = 0
+    # Depth sampling mode for the render term.  True (default): per-ray
+    # chord sampling — every sample inside the decoder's unit-sphere
+    # support (`losses.chord_sample_depths`).  False: the reference's
+    # global linspace over d_center ± scale (`optimizer.py:122-128`) —
+    # the strict-parity mode used by tests/test_reference_parity.py to
+    # track the reference's torch GN trajectory iteration by iteration.
+    chord_sampling: bool = True
+    # Active-ray compaction for the fine phase: after the coarse phase,
+    # keep only ceil(R·fraction) rays — foreground rays and rays whose
+    # chord approaches the surface (min |SDF| < 5·th) first, then by
+    # depth-residual magnitude.  A ray whose chord never meets the surface
+    # contributes no gradient points and only burns value-pass FLOPs
+    # (the TPU-shaped version of "prune rays whose transmittance
+    # collapsed": fixed-capacity top-k compaction instead of per-ray
+    # dynamic shapes).  1.0 disables.
+    active_ray_fraction: float = 1.0
 
     @classmethod
     def tpu_fast(cls, **overrides) -> "ReconConfig":
-        """Validated TPU production preset: ~2x the faithful-f32 throughput.
+        """Validated TPU production preset: ~3x the faithful-f32 throughput.
 
-        bf16 MXU passes + 1-pass value sweep + halved compaction capacities.
+        bf16 MXU passes + 1-pass value sweep + halved compaction capacities
+        + coarse-to-fine sampling (6 iters at 25 samples/ray, then full
+        density) + fine-phase active-ray compaction (the informative half).
         Equivalence to the faithful config on a trained decoder is asserted
         by tests/test_trained_decoder_recon.py (pose/scale/shape deltas in
         the noise).  Use with compute_dtype=jnp.bfloat16 (see FAST_DTYPE).
         """
         base = dict(fast_value_pass=True, max_grad_points=1024,
-                    max_valid_samples=4096)
+                    max_valid_samples=4096, coarse_iterations=6,
+                    coarse_samples=25, active_ray_fraction=0.5)
         base.update(overrides)
         return cls(**base)
 
@@ -128,91 +158,142 @@ def reconstruct_object(params, spec, cfg: ReconConfig, t_cam_obj, pts_surface,
     t_obj_cam0 = lie.inv_sim3(jnp.asarray(t_cam_obj, jnp.float32))
     wb = _pallas_pack(params, spec) if cfg.use_pallas else None
 
-    def body(_, carry):
-        t_obj_cam, code, good, loss_prev = carry
-        t_co = lie.inv_sim3(t_obj_cam)
-        scale = lie.sim3_scale(t_co)
-        d_center = t_co[2, 3]
-        d_max = d_center + scale
-        # per-ray chord sampling (losses.chord_sample_depths): every depth
-        # sample lands inside the decoder's unit-sphere support — replaces
-        # the reference's global linspace over d_center ± scale
-        # (`optimizer.py:122-128`) which wastes 30-60% of samples
-        sampled, hit = losses.chord_sample_depths(
-            t_obj_cam, rays, cfg.num_depth_samples
-        )
-        depth_eff = jnp.where(fg_mask, depth_obs, 1.1 * d_max)
+    def make_body(rays_p, ray_mask_p, depth_p, fg_p, n_samples: int):
+        """One GN iteration over the given ray set at the given sampling
+        density.  Carry = (t_obj_cam, code, good, loss, res_ray, min_abs);
+        the per-ray diagnostics feed the fine-phase active-ray selection."""
 
-        sdf_t = losses.compute_sdf_loss(
-            params, spec, pts_surface, pts_mask, t_obj_cam, code,
-            compute_dtype, pallas_wb=wb,
-            pallas_interpret=cfg.pallas_interpret,
-        )
-        rr_sdf, sdf_loss, _ = robust.robust_residuals(sdf_t.res, cfg.b2,
-                                                      sdf_t.mask)
+        def body(_, carry):
+            t_obj_cam, code, good, loss_prev, _rr, _ma = carry
+            t_co = lie.inv_sim3(t_obj_cam)
+            scale = lie.sim3_scale(t_co)
+            d_center = t_co[2, 3]
+            d_max = d_center + scale
+            if cfg.chord_sampling:
+                # per-ray chord sampling (losses.chord_sample_depths):
+                # every depth sample lands inside the decoder's unit-sphere
+                # support — replaces the reference's global linspace over
+                # d_center ± scale (`optimizer.py:122-128`) which wastes
+                # 30-60% of samples
+                sampled, hit = losses.chord_sample_depths(
+                    t_obj_cam, rays_p, n_samples
+                )
+            else:
+                # strict reference parity: global linspace (d ± scale)
+                sampled = jnp.linspace(d_center - scale, d_center + scale,
+                                       n_samples)
+                hit = jnp.ones(rays_p.shape[0], bool)
+            depth_eff = jnp.where(fg_p, depth_p, 1.1 * d_max)
 
-        ren = losses.compute_render_loss(
-            params, spec, rays, ray_mask & hit, depth_eff, t_obj_cam,
-            sampled, code,
-            th=cfg.cut_off_threshold, max_grad_points=cfg.max_grad_points,
-            max_valid_samples=cfg.max_valid_samples,
-            fast_value_pass=cfg.fast_value_pass,
-            compute_dtype=compute_dtype,
-            d_max=d_max,  # same far plane as depth_eff: bg residual is 0
-            pallas_wb=wb, pallas_interpret=cfg.pallas_interpret,
-        )
-        rr_ren, ren_loss, _ = robust.robust_residuals(ren.res, cfg.b1, ren.mask)
+            sdf_t = losses.compute_sdf_loss(
+                params, spec, pts_surface, pts_mask, t_obj_cam, code,
+                compute_dtype, pallas_wb=wb,
+                pallas_interpret=cfg.pallas_interpret,
+            )
+            rr_sdf, sdf_loss, _ = robust.robust_residuals(sdf_t.res, cfg.b2,
+                                                          sdf_t.mask)
 
-        drot, res_rot = losses.compute_rotation_loss_sim3(t_obj_cam)
+            ren = losses.compute_render_loss(
+                params, spec, rays_p, ray_mask_p & hit, depth_eff, t_obj_cam,
+                sampled, code,
+                th=cfg.cut_off_threshold,
+                max_grad_points=cfg.max_grad_points,
+                max_valid_samples=cfg.max_valid_samples,
+                fast_value_pass=cfg.fast_value_pass,
+                compute_dtype=compute_dtype,
+                d_max=d_max,  # same far plane as depth_eff: bg residual is 0
+                pallas_wb=wb, pallas_interpret=cfg.pallas_interpret,
+            )
+            rr_ren, ren_loss, _ = robust.robust_residuals(ren.res, cfg.b1,
+                                                          ren.mask)
 
-        loss = cfg.k1 * ren_loss + cfg.k2 * sdf_loss
+            drot, res_rot = losses.compute_rotation_loss_sim3(t_obj_cam)
 
-        # normal equations (reference :163-186); Huber weight applied to the
-        # residual in b only, H uses raw J — faithful to the reference.
-        D = 7 + L
-        J_sdf = jnp.concatenate([sdf_t.jac_pose, sdf_t.jac_code], axis=-1)
-        n_sdf = jnp.maximum(jnp.sum(sdf_t.mask), 1).astype(jnp.float32)
-        Jm = jnp.where(sdf_t.mask[:, None], J_sdf, 0.0)
-        H = cfg.k2 * (Jm.T @ Jm) / n_sdf
-        b = -cfg.k2 * (Jm.T @ jnp.where(sdf_t.mask, rr_sdf, 0.0)) / n_sdf
+            loss = cfg.k1 * ren_loss + cfg.k2 * sdf_loss
 
-        J_ren = jnp.concatenate([ren.jac_pose, ren.jac_code], axis=-1)
-        n_ren = jnp.maximum(jnp.sum(ren.mask), 1).astype(jnp.float32)
-        Jm = jnp.where(ren.mask[:, None], J_ren, 0.0)
-        H = H + cfg.k1 * (Jm.T @ Jm) / n_ren
-        b = b - cfg.k1 * (Jm.T @ jnp.where(ren.mask, rr_ren, 0.0)) / n_ren
+            # normal equations (reference :163-186); Huber weight applied to
+            # the residual in b only, H uses raw J — faithful to the
+            # reference.
+            J_sdf = jnp.concatenate([sdf_t.jac_pose, sdf_t.jac_code],
+                                    axis=-1)
+            n_sdf = jnp.maximum(jnp.sum(sdf_t.mask), 1).astype(jnp.float32)
+            Jm = jnp.where(sdf_t.mask[:, None], J_sdf, 0.0)
+            H = cfg.k2 * (Jm.T @ Jm) / n_sdf
+            b = -cfg.k2 * (Jm.T @ jnp.where(sdf_t.mask, rr_sdf, 0.0)) / n_sdf
 
-        H = H.at[7:, 7:].add(cfg.k3 * jnp.eye(L))
-        b = b.at[7:].add(-cfg.k3 * code)
-        H = H.at[:7, :7].add(cfg.k4 * jnp.outer(drot, drot))
-        # NOTE: the reference's J_rot is −dE/dω (cross-product order flips the
-        # sign), and its double negative `b -= k4·(−Jᵀr)` (optimizer.py:179-181)
-        # yields b += k4·J·r — which IS the descent direction for the true
-        # gradient.  Replicated faithfully:
-        b = b.at[:7].add(cfg.k4 * drot * res_rot)
-        H = H.at[:7, :7].add(jnp.eye(7))
-        H = H.at[6, 6].add(cfg.scale_damping)
+            J_ren = jnp.concatenate([ren.jac_pose, ren.jac_code], axis=-1)
+            n_ren = jnp.maximum(jnp.sum(ren.mask), 1).astype(jnp.float32)
+            Jm = jnp.where(ren.mask[:, None], J_ren, 0.0)
+            H = H + cfg.k1 * (Jm.T @ Jm) / n_ren
+            b = b - cfg.k1 * (Jm.T @ jnp.where(ren.mask, rr_ren, 0.0)) / n_ren
 
-        dx = jnp.linalg.solve(H, b)
-        delta_t = lie.exp_sim3(cfg.learning_rate * dx[:7])
-        t_new = delta_t @ t_obj_cam
-        code_new = code + cfg.learning_rate * dx[7:]
+            H = H.at[7:, 7:].add(cfg.k3 * jnp.eye(L))
+            b = b.at[7:].add(-cfg.k3 * code)
+            H = H.at[:7, :7].add(cfg.k4 * jnp.outer(drot, drot))
+            # NOTE: the reference's J_rot is −dE/dω (cross-product order
+            # flips the sign), and its double negative `b -= k4·(−Jᵀr)`
+            # (optimizer.py:179-181) yields b += k4·J·r — which IS the
+            # descent direction for the true gradient.  Replicated:
+            b = b.at[:7].add(cfg.k4 * drot * res_rot)
+            H = H.at[:7, :7].add(jnp.eye(7))
+            H = H.at[6, 6].add(cfg.scale_damping)
 
-        ok = (
-            good
-            & jnp.isfinite(loss)
-            & jnp.all(jnp.isfinite(dx))
-            & (ren.n_valid >= 10)
-        )
-        t_out = jnp.where(ok, t_new, t_obj_cam)
-        code_out = jnp.where(ok, code_new, code)
-        loss_out = jnp.where(ok, loss, loss_prev)
-        return t_out, code_out, ok, loss_out
+            dx = jnp.linalg.solve(H, b)
+            delta_t = lie.exp_sim3(cfg.learning_rate * dx[:7])
+            t_new = delta_t @ t_obj_cam
+            code_new = code + cfg.learning_rate * dx[7:]
 
-    init = (t_obj_cam0, code0, jnp.asarray(True), jnp.asarray(0.0))
-    t_obj_cam, code, good, loss = jax.lax.fori_loop(
-        0, cfg.num_iterations, body, init
-    )
+            ok = (
+                good
+                & jnp.isfinite(loss)
+                & jnp.all(jnp.isfinite(dx))
+                & (ren.n_valid >= 10)
+            )
+            t_out = jnp.where(ok, t_new, t_obj_cam)
+            code_out = jnp.where(ok, code_new, code)
+            loss_out = jnp.where(ok, loss, loss_prev)
+            return (t_out, code_out, ok, loss_out, ren.res_ray,
+                    ren.min_abs_sdf)
+
+        return body
+
+    M = cfg.num_depth_samples
+    nc = min(cfg.coarse_iterations, cfg.num_iterations) \
+        if cfg.coarse_samples > 0 else 0
+    R = rays.shape[0]
+    carry = (t_obj_cam0, code0, jnp.asarray(True), jnp.asarray(0.0),
+             jnp.zeros(R), jnp.full(R, jnp.inf))
+    if nc > 0:
+        # ---- coarse phase: all rays, reduced depth density ----
+        carry = jax.lax.fori_loop(
+            0, nc,
+            make_body(rays, ray_mask, depth_obs, fg_mask,
+                      cfg.coarse_samples),
+            carry)
+    rays_f, mask_f, depth_f, fg_f = rays, ray_mask, depth_obs, fg_mask
+    if nc > 0 and cfg.active_ray_fraction < 1.0:
+        # ---- fine-phase active-ray compaction: foreground rays and rays
+        # whose chord approaches the surface first, then by residual ----
+        _, _, _, _, res_ray, min_abs = carry
+        th = cfg.cut_off_threshold
+        interact = fg_mask | (min_abs < 5.0 * th)
+        score = jnp.where(ray_mask,
+                          1e3 * interact.astype(jnp.float32)
+                          + jnp.abs(res_ray), -1.0)
+        R_act = max(int(np.ceil(R * cfg.active_ray_fraction)), 1)
+        _, sel = jax.lax.top_k(score, R_act)
+        rays_f = rays[sel]
+        mask_f = ray_mask[sel]
+        depth_f = depth_obs[sel]
+        fg_f = fg_mask[sel]
+    if cfg.num_iterations > nc:
+        carry = (carry[0], carry[1], carry[2], carry[3],
+                 jnp.zeros(rays_f.shape[0]),
+                 jnp.full(rays_f.shape[0], jnp.inf))
+        carry = jax.lax.fori_loop(
+            nc, cfg.num_iterations,
+            make_body(rays_f, mask_f, depth_f, fg_f, M), carry)
+    t_obj_cam, code, good, loss = carry[:4]
     return ReconResult(lie.inv_sim3(t_obj_cam), code, good, loss)
 
 

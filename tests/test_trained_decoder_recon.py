@@ -52,10 +52,9 @@ def _first_hit_depth(rays, T_co, s, axes):
     return (-b - disc) / (2.0 * a)
 
 
-@pytest.fixture(scope="module")
-def problem():
+def make_problem(seed: int = 3):
     params, spec = deepsdf.load_npz(FIXTURE)
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(seed)
 
     code_gt = jnp.asarray(rng.standard_normal(64), jnp.float32)
     axes = np.asarray(code_to_axes(code_gt))
@@ -108,6 +107,11 @@ def problem():
     )
 
 
+@pytest.fixture(scope="module")
+def problem():
+    return make_problem(3)
+
+
 def _fit(problem, cfg, dtype):
     out = reconstruct_object(
         problem["params"], problem["spec"], cfg, problem["T_init"],
@@ -128,6 +132,13 @@ def _fit(problem, cfg, dtype):
 # CPU-sized budget: KITTI's 10 iters, small grad-compaction cap
 CFG_FAITHFUL = ReconConfig(num_iterations=10, max_grad_points=512)
 CFG_FAST = ReconConfig.tpu_fast(num_iterations=10, max_grad_points=512)
+# precision-only subset of the production preset: bf16 MXU + 1-pass value
+# sweep with the algorithmic FLOPs cuts disabled — comparable to the
+# faithful path ITERATION BY ITERATION, so a strict single-instance band
+# applies
+CFG_FAST_PRECISION_ONLY = ReconConfig.tpu_fast(
+    num_iterations=10, max_grad_points=512,
+    coarse_iterations=0, coarse_samples=0, active_ray_fraction=1.0)
 
 
 @pytest.fixture(scope="module")
@@ -149,11 +160,59 @@ def test_gn_converges_on_trained_decoder(problem, faithful_fit):
     assert r_err < 12.0
 
 
-def test_tpu_fast_preset_matches_faithful(problem, faithful_fit):
+def test_tpu_fast_precision_matches_faithful(problem, faithful_fit):
+    """The PRECISION part of the production preset (bf16 MXU, 1-pass value
+    sweep) follows the faithful f32 path within a tight single-instance
+    band: same sample positions every iteration, only rounding differs."""
     _, t_f, s_f, r_f = faithful_fit
-    out, t_q, s_q, r_q = _fit(problem, CFG_FAST, jnp.bfloat16)
+    out, t_q, s_q, r_q = _fit(problem, CFG_FAST_PRECISION_ONLY, jnp.bfloat16)
     assert bool(out.is_good)
     # same optimum within noise (on this problem: 0.5106 vs 0.5126 m)
     assert abs(t_q - t_f) < 0.05
     assert abs(s_q - s_f) < 0.05
     assert abs(r_q - r_f) < 2.0
+
+
+def test_tpu_fast_algorithmic_cuts_match_quality(problem):
+    """The ALGORITHMIC parts of the production preset (coarse-to-fine
+    sampling + fine-phase active-ray compaction, ~2x fewer value-pass
+    FLOPs) change the GN path, so single-instance comparison measures path
+    chaos, not quality.  Validate on MEAN converged error over several
+    problem instances instead: the preset must match the faithful
+    configuration's mean pose/scale/rotation error within a fraction of
+    the per-instance scatter (measured: Δmean ≈ 0.03-0.07 vs σ ≈ 0.3-0.5).
+
+    Both configs run as one vmapped program over the instance batch.
+    """
+    from dsp_slam_rgbd_tpu.recon.optimizer import reconstruct_objects_batched
+
+    seeds = [3, 4, 5, 6, 7, 8]
+    probs = [make_problem(s) for s in seeds]
+    params, spec = probs[0]["params"], probs[0]["spec"]
+
+    def batch_errs(cfg, dtype):
+        B = len(probs)
+        stack = lambda k: jnp.stack([p[k] for p in probs])
+        out = reconstruct_objects_batched(
+            params, spec, cfg, stack("T_init"), stack("pts"),
+            jnp.ones((B, probs[0]["n_pts"]), bool), stack("rays"),
+            jnp.ones((B, probs[0]["n_rays"]), bool), stack("depth"),
+            stack("fg_mask"), jnp.zeros((B, cfg.code_len)),
+            compute_dtype=dtype)
+        T = np.asarray(out.t_cam_obj)
+        errs = []
+        for i, p in enumerate(probs):
+            s = np.cbrt(np.linalg.det(T[i, :3, :3]))
+            t_err = np.linalg.norm(T[i, :3, 3] - p["t_gt"])
+            cosang = (np.trace((T[i, :3, :3] / s).T @ p["R"]) - 1) / 2
+            errs.append([t_err, abs(s - p["s_gt"]),
+                         np.degrees(np.arccos(np.clip(cosang, -1, 1)))])
+        assert np.asarray(out.is_good).all()
+        return np.asarray(errs)
+
+    e_faith = batch_errs(CFG_FAITHFUL, jnp.float32)
+    e_fast = batch_errs(CFG_FAST, jnp.bfloat16)
+    d = np.abs(e_fast.mean(0) - e_faith.mean(0))
+    assert d[0] < 0.10, f"mean translation error drifted: {d[0]:.3f} m"
+    assert d[1] < 0.10, f"mean scale error drifted: {d[1]:.3f}"
+    assert d[2] < 2.5, f"mean rotation error drifted: {d[2]:.2f} deg"
