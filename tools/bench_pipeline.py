@@ -46,9 +46,31 @@ def render(texture, cam_x, tex_scale=40.0):
     )
 
 
-def run(frames: int = 36, warmup: int = 6) -> dict:
+def _measure_rtt(n: int = 6) -> float:
+    """Median dispatch+fetch round trip of a trivial program (ms) — the
+    remote-TPU tunnel latency varies by epoch (observed 4-40 ms), and FPS
+    numbers are only comparable across runs alongside the RTT they paid."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros(4)
+    np.asarray(x + 1.0)  # warm the program
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(x + 1.0)
+        ts.append(time.perf_counter() - t0)
+    return 1e3 * float(np.median(ts))
+
+
+def run(frames: int = 36, warmup: int = 6, passes: int = 3) -> dict:
     """Run the whole-pipeline FPS benchmark; returns the result dict
-    (callable from bench.py so the driver records pipeline_fps per round)."""
+    (callable from bench.py so the driver records pipeline_fps per round).
+
+    The timed pass repeats `passes` times (fresh map each time) and the
+    MEDIAN pass is reported, with the measured tunnel RTT alongside —
+    single-pass numbers on this machine spread ~15% with the RTT epoch
+    (VERDICT r4: builder 4.97 vs driver 3.56 on the same commit).
+    """
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -126,29 +148,37 @@ def run(frames: int = 36, warmup: int = 6) -> dict:
     np.asarray(system.state.kf_pose[0])  # drain the dispatch queue
     system.reset()
 
-    print("timed pass...", flush=True)
-    t_frames = []
-    t_pass0 = time.perf_counter()
-    for i, frame in enumerate(FramePrefetcher(system.tracker, iter(seq),
-                                              sensor="stereo", depth=2)):
-        t0 = time.perf_counter()
-        out = system.track_frame(frame, detections=dets_for(i))
-        # per-frame host sync: the tracker's own fused-stage stats fetch
-        # (once tracking is initialized); force one explicitly otherwise
-        if system.tracker._stage_stats is None:
-            np.asarray(out["frame"].t_cw if out.get("frame") is not None
-                       else system.state.kf_pose[0])
-        dt = time.perf_counter() - t0
-        t_frames.append((dt, out["new_kf"]))
-    system.flush()  # adopt trailing async mapping jobs (counted in wall)
-    np.asarray(system.state.kf_pose[0])  # drain trailing async KF work
-    # FPS from the WALL CLOCK of the whole pass: queue waits on the
-    # prefetcher (if the upload thread ever falls behind) count too
-    total = time.perf_counter() - t_pass0
+    results = []
+    for p in range(max(passes, 1)):
+        rtt = _measure_rtt()
+        print(f"timed pass {p + 1}/{passes} (rtt {rtt:.1f} ms)...",
+              flush=True)
+        system.reset()
+        t_frames = []
+        t_pass0 = time.perf_counter()
+        for i, frame in enumerate(FramePrefetcher(system.tracker, iter(seq),
+                                                  sensor="stereo", depth=2)):
+            t0 = time.perf_counter()
+            out = system.track_frame(frame, detections=dets_for(i))
+            # per-frame host sync: the tracker's own fused-stage stats
+            # fetch (once tracking is initialized); force one otherwise
+            if system.tracker._stage_stats is None:
+                np.asarray(out["frame"].t_cw if out.get("frame") is not None
+                           else system.state.kf_pose[0])
+            dt = time.perf_counter() - t0
+            t_frames.append((dt, out["new_kf"]))
+        system.flush()  # adopt trailing async mapping jobs (counted)
+        np.asarray(system.state.kf_pose[0])  # drain trailing device work
+        # FPS from the WALL CLOCK of the whole pass: queue waits on the
+        # prefetcher (if the upload thread ever falls behind) count too
+        total = time.perf_counter() - t_pass0
+        results.append((len(t_frames) / total, t_frames, rtt))
+
+    results.sort(key=lambda r: r[0])
+    fps, t_frames, rtt = results[len(results) // 2]  # median pass
     n = len(t_frames)
     kf_frames = [d for d, k in t_frames if k]
     tr_frames = [d for d, k in t_frames if not k]
-    fps = n / total
     out = {
         "metric": "pipeline_fps",
         "value": round(fps, 2),
@@ -160,11 +190,13 @@ def run(frames: int = 36, warmup: int = 6) -> dict:
         if tr_frames else None,
         "kf_frame_ms": round(1e3 * float(np.median(kf_frames)), 1)
         if kf_frames else None,
-        # attribution note: keyframe-stage device work is dispatched
-        # asynchronously, so the track/kf per-frame split is approximate —
-        # async KF work can drain into the following frame's wall time.
-        # The headline FPS is exact wall clock.
-        "split_note": "per-frame split approximate (async KF dispatch)",
+        # attribution note: keyframe-stage device work runs on the async
+        # mapping worker, so the track/kf per-frame split is approximate —
+        # KF work drains into following frames' wall time.  The headline
+        # FPS is exact wall clock of the median pass.
+        "split_note": "per-frame split approximate (async KF worker)",
+        "passes_fps": [round(r[0], 2) for r in results],
+        "tunnel_rtt_ms": round(rtt, 1),
         "n_kf_total": system.n_kf,
         "objects": int(np.asarray(system.state.obj_valid).sum()),
     }
