@@ -73,16 +73,6 @@ class ConsistencyState:
         return consistent
 
 
-def candidate_groups(state: ms.MapState, cand_mask: np.ndarray) -> list[set]:
-    """Expand each candidate into its covisible group (host)."""
-    W = np.asarray(covis.covisibility_matrix(state))
-    groups = []
-    for k in np.nonzero(np.asarray(cand_mask))[0]:
-        grp = set(np.nonzero(W[k] >= covis.MIN_WEIGHT)[0].tolist()) | {int(k)}
-        groups.append(grp)
-    return groups
-
-
 def _pairs_from_match(state: ms.MapState, kf_q: int, kf_c: int, idx, valid):
     """Lift a per-query-feature match (idx into kf_c features) to 3D-3D
     pairs in the two camera frames."""
@@ -219,8 +209,8 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
     pose graph is optimized with the loop edge added.
     """
     K = state.kf_pose.shape[0]
-    W = covis.covisibility_matrix(state)
-    group = (W[kf_q] >= covis.MIN_WEIGHT) & state.kf_valid
+    group = (covis.covisibility_row(state, kf_q) >= covis.MIN_WEIGHT) \
+        & state.kf_valid
     group = group.at[kf_q].set(True)
     # the loop candidate anchors the correction and is never part of the
     # warped group (in the reference it cannot be covisibility-connected to
@@ -287,7 +277,11 @@ def correct_loop(state: ms.MapState, cam, kf_q: int, kf_c: int,
     kf_idx = kf_idx[order]
     chain = np.stack([kf_idx[:-1], kf_idx[1:]], 1) if len(kf_idx) > 1 \
         else np.zeros((0, 2), np.int64)
-    Wn = np.asarray(W)
+    # strong covisibility edges (weight ≥ 100, reference OptimizeEssential
+    # Graph's covisibility edges).  One full-matrix build per loop CLOSURE
+    # — the chunked covisibility_matrix keeps it memory-bounded at
+    # kitti_large capacities (per-keyframe retrieval never builds it)
+    Wn = np.asarray(covis.covisibility_matrix(state))
     sa, sb = np.nonzero(np.triu(Wn >= 100, 1))  # strong covisibility edges
     ei = np.concatenate([chain[:, 0], sa, [int(kf_c)]]).astype(np.int32)
     ej = np.concatenate([chain[:, 1], sb, [int(kf_q)]]).astype(np.int32)
@@ -350,40 +344,42 @@ def fuse_duplicate_points(state: ms.MapState, group_q: jnp.ndarray,
     silently votes/matches a dead landmark, and the first post-closure
     frame loses tracking exactly when the map just improved.
     """
-    from dsp_slam_rgbd_tpu.frontend import matcher as matcher_mod
-
     pts_q = ms.point_mask_of(state, group_q) & state.pt_valid
     pts_c = ms.point_mask_of(state, group_c) & state.pt_valid
     pts_q = pts_q & ~pts_c  # only revisit-side duplicates die
 
-    # compact both sides (a dense P x P matrix would be O(GB) at capacity)
-    CAP = 2048
+    # TILED matching: both sides compact to (n_tiles, TILE) index grids and
+    # every q-tile scans every c-tile (a dense P x P matrix would be O(GB)
+    # at capacity; a single fixed 2048 cap — the pre-r5 behavior — silently
+    # dropped everything past it, so duplicates survived big KITTI-scale
+    # closures).  The two side counts are fetched on the host (one small
+    # sync at loop-closure rate) to size the tile grid; tile counts are
+    # power-of-two bucketed so only a few programs ever compile.
     P = state.pt_pos.shape[0]
-    (iq,) = jnp.nonzero(pts_q, size=CAP, fill_value=P)
-    (ic,) = jnp.nonzero(pts_c, size=CAP, fill_value=P)
-    live_q = iq < P
-    live_c = ic < P
-    iq_s = jnp.minimum(iq, P - 1)
-    ic_s = jnp.minimum(ic, P - 1)
-    pq = state.pt_pos[iq_s]
-    pc = state.pt_pos[ic_s]
-    d2 = jnp.sum((pq[:, None, :] - pc[None, :, :]) ** 2, axis=-1)
-    ham = matcher_mod.hamming_matrix(state.pt_desc[iq_s],
-                                     state.pt_desc[ic_s])
-    pair = (
-        live_q[:, None] & live_c[None, :] & (d2 <= radius * radius)
-        & (ham <= max_hamming)
-    )
-    d2_masked = jnp.where(pair, d2, jnp.inf)
-    target_local = jnp.argmin(d2_masked, axis=1)  # (CAP,)
-    dies_local = jnp.any(pair, axis=1)
+    TILE = 2048
+    n_q = int(jnp.sum(pts_q))
+    n_c = int(jnp.sum(pts_c))
+    identity = jnp.arange(P)
+    if n_q == 0 or n_c == 0:
+        return state, identity
 
-    # scatter back to global indexing (unclamped iq: fill slots land in the
-    # extra row P and are dropped — no collision with real point P−1)
-    target_global = ic_s[target_local]
-    dies = jnp.zeros(P + 1, bool).at[iq].set(dies_local & live_q)[:P]
+    def tiles(n):
+        t = 1
+        while t * TILE < n:
+            t *= 2
+        return t
+
+    tq, tc = tiles(n_q), tiles(n_c)
+    (iq,) = jnp.nonzero(pts_q, size=tq * TILE, fill_value=P)
+    (ic,) = jnp.nonzero(pts_c, size=tc * TILE, fill_value=P)
+    best_d2, best_tg = _fuse_match_tiles(
+        state.pt_pos, state.pt_desc, iq.reshape(tq, TILE),
+        ic.reshape(tc, TILE), radius=radius, max_hamming=max_hamming)
+
+    dies_flat = (best_d2 < jnp.inf) & (iq < P)
+    dies = jnp.zeros(P + 1, bool).at[iq].set(dies_flat)[:P]
     remap = jnp.arange(P + 1).at[iq].set(
-        jnp.where(dies_local & live_q, target_global, iq_s)
+        jnp.where(dies_flat, best_tg, jnp.minimum(iq, P - 1))
     )[:P]
     assoc = state.kf_feat_pt
     new_assoc = jnp.where(
@@ -393,6 +389,51 @@ def fuse_duplicate_points(state: ms.MapState, group_q: jnp.ndarray,
         pt_valid=state.pt_valid & ~dies,
         kf_feat_pt=new_assoc,
     ), remap
+
+
+@partial(jax.jit, static_argnames=("radius", "max_hamming"))
+def _fuse_match_tiles(pt_pos, pt_desc, iq, ic, radius: float,
+                      max_hamming: int):
+    """Best loop-side fusion target for every revisit-side point.
+
+    iq (TQ, TILE) / ic (TC, TILE): global point indices (P = dead pad).
+    Scans all TQ·TC tile pairs with an (TILE, TILE) working set; returns
+    (best_d2 (TQ·TILE,), best_target (TQ·TILE,)) with inf/undefined where
+    no candidate matched."""
+    P = pt_pos.shape[0]
+    TILE = iq.shape[1]
+    iq_s = jnp.minimum(iq, P - 1)
+    ic_s = jnp.minimum(ic, P - 1)
+
+    def per_qtile(args):
+        qi, qi_s = args
+        pq = pt_pos[qi_s]
+        dq = pt_desc[qi_s]
+        lq = qi < P
+
+        def per_ctile(carry, cargs):
+            best_d2, best_tg = carry
+            ci, ci_s = cargs
+            pc = pt_pos[ci_s]
+            dc = pt_desc[ci_s]
+            lc = ci < P
+            d2 = jnp.sum((pq[:, None, :] - pc[None, :, :]) ** 2, axis=-1)
+            ham = matcher.hamming_matrix(dq, dc)
+            pair = (lq[:, None] & lc[None, :] & (d2 <= radius * radius)
+                    & (ham <= max_hamming))
+            d2m = jnp.where(pair, d2, jnp.inf)
+            j = jnp.argmin(d2m, axis=1)
+            v = d2m[jnp.arange(TILE), j]
+            upd = v < best_d2
+            return (jnp.where(upd, v, best_d2),
+                    jnp.where(upd, ci_s[j], best_tg)), None
+
+        init = (jnp.full(TILE, jnp.inf), jnp.full(TILE, P - 1))
+        (bd, bt), _ = jax.lax.scan(per_ctile, init, (ic, ic_s))
+        return bd, bt
+
+    bd, bt = jax.lax.map(per_qtile, (iq, iq_s))
+    return bd.reshape(-1), bt.reshape(-1)
 
 
 def fuse_duplicate_objects(state: ms.MapState, dist_th: float = 1.5

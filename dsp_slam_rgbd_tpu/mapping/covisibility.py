@@ -14,6 +14,7 @@ not an f32 (K, P) product.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dsp_slam_rgbd_tpu.mapping import map_state as ms
@@ -36,17 +37,44 @@ def covisibility_row(state: ms.MapState, kf: int) -> jnp.ndarray:
     return row.at[kf].set(0)
 
 
-def covisibility_matrix(state: ms.MapState) -> jnp.ndarray:
+def covisibility_rows(state: ms.MapState, kfs: jnp.ndarray) -> jnp.ndarray:
+    """(L, K) int32 co-observation counts for a batch of keyframes.
+
+    vmapped `covisibility_row`: O(L·(P + K·F)) — the scale-safe way to get
+    the covisible groups of a handful of loop/reloc candidates without the
+    (K, K) matrix (reference: per-candidate `GetBestCovisibilityKeyFrames`,
+    `KeyFrameDatabase.cc:131-160`)."""
+    return jax.vmap(lambda k: covisibility_row(state, k))(kfs)
+
+
+def covisibility_matrix(state: ms.MapState, chunk: int = 16) -> jnp.ndarray:
     """(K, K) int32 co-observation counts (diagonal zeroed).
 
-    Exact int8 matmul over the membership matrix — the MXU path; ~O(K²·P)
-    FLOPs but int8 operands, used only for whole-graph consumers
-    (loop-candidate group scores, essential-graph edges).
+    Memory-bounded: computed `chunk` rows at a time via `lax.map` —
+    O(chunk·P) working set and O(K²·F) int ops total, instead of the
+    (K, P) int8 membership matmul whose operand alone is ~600 MB at
+    `MapConfig.kitti_large` capacities (2048 KF × 300k pts).  Used only by
+    whole-graph consumers that run at loop-closure rate (essential-graph
+    strong-edge extraction); per-keyframe retrieval uses
+    `covisibility_row`/`covisibility_rows`.
     """
-    M = ms.membership_matrix(state).astype(jnp.int8)
-    W = jnp.matmul(M, M.T, preferred_element_type=jnp.int32)
-    K = W.shape[0]
-    return W * (1 - jnp.eye(K, dtype=jnp.int32))
+    K = state.kf_valid.shape[0]
+    C = min(chunk, K)
+    n_chunks = (K + C - 1) // C
+    # row indices padded past K: covisibility_row of an always-invalid
+    # virtual slot returns zeros (kf_valid gate), so padding rows are inert
+    idx = jnp.minimum(jnp.arange(n_chunks * C), K - 1).reshape(n_chunks, C)
+    pad_dead = (jnp.arange(n_chunks * C) < K).reshape(n_chunks, C)
+
+    def one_chunk(args):
+        ks, live = args
+        rows = jax.vmap(lambda k: covisibility_row(state, k))(ks)
+        return rows * live[:, None]
+
+    W = jax.lax.map(one_chunk, (idx, pad_dead)).reshape(n_chunks * C, K)[:K]
+    # covisibility_row zeroes self and gates columns by kf_valid; gate the
+    # row side too so culled slots contribute nothing either way
+    return W * state.kf_valid[:, None].astype(jnp.int32)
 
 
 def local_window(state: ms.MapState, center_kf: int, max_kfs: int,

@@ -55,18 +55,21 @@ def _loop_candidates_device(state, db, kf_slot, recent_after_fid,
                             max_cands: int):
     """Loop-candidate retrieval + the candidates' covisible rows as ONE
     program (one fetch): returns a (2 + max_cands, max_cands + K) f32
-    matrix packing [cand_idx pad | -], [- | scores], [- | rows...]."""
+    matrix packing [cand_idx pad | -], [- | scores], [- | rows...].
+
+    Scale-safe: the query's connected set is ONE covisibility row and
+    group scoring expands only the top-`max_cands` candidates' rows
+    (`detect_loop_candidates_grouped`) — no (K, K) matrix, no (K, P)
+    membership build, so the program stays feasible at
+    `MapConfig.kitti_large` capacities (2048 KF × 300k pts)."""
     K = state.kf_valid.shape[0]
-    W = covis.covisibility_matrix(state)
-    connected = (W[kf_slot] >= covis.MIN_WEIGHT).at[kf_slot].set(True)
+    row_q = covis.covisibility_row(state, kf_slot)
+    connected = (row_q >= covis.MIN_WEIGHT).at[kf_slot].set(True)
     recent = state.kf_frame_id >= recent_after_fid
-    cand, scores = keyframe_db.detect_loop_candidates(
-        db, db.bow[kf_slot], connected | recent, W)
-    # first max_cands candidate indices (-1 pad)
-    vals, idx = jax.lax.top_k(cand.astype(jnp.int32), min(max_cands, K))
-    cand_idx = jnp.where(vals > 0, idx, -1).astype(jnp.int32)
-    rows = (W[jnp.maximum(cand_idx, 0)] >= covis.MIN_WEIGHT) \
-        & (cand_idx >= 0)[:, None]
+    cand_idx, scores, rows_w = keyframe_db.detect_loop_candidates_grouped(
+        db, db.bow[kf_slot], connected | recent, state,
+        top_l=min(max_cands, K))
+    rows = (rows_w >= covis.MIN_WEIGHT) & (cand_idx >= 0)[:, None]
     out = jnp.zeros((2 + max_cands, max_cands + K))
     out = out.at[0, :max_cands].set(cand_idx.astype(jnp.float32))
     out = out.at[1, max_cands:].set(scores)
@@ -395,6 +398,16 @@ class MappingStage:
             self._oobs_cursor[o] = c + 1
         return qs
 
+    @property
+    def oobs_overwrites(self) -> int:
+        """Pose edges overwritten by their object's ring wrapping (each one
+        is a camera-object constraint the global joint BA no longer sees —
+        observable, by the no-silent-caps rule; size max_oobs up if this
+        grows on a run)."""
+        Q = self.state.oobs_kf.shape[0]
+        S = max(Q // self.state.obj_pose.shape[0], 1)
+        return sum(max(0, c - S) for c in self._oobs_cursor.values())
+
     def _add_object_obs(self, obj_slot: int, kf_slot: int, t_co):
         """Record a camera-object pose edge.  The buffer is partitioned into
         per-object rings (Q // O slots each) so one busy object can never
@@ -454,13 +467,17 @@ class MappingStage:
         cand_idx = out[0, :MAX_CANDS].astype(np.int64)
         scores = out[1, MAX_CANDS:MAX_CANDS + K]
         rows = out[2:2 + MAX_CANDS, MAX_CANDS:MAX_CANDS + K] > 0.5
-        cidx = cand_idx[cand_idx >= 0]
+        # −1 holes can sit mid-array (the 0.75·best-acc gate rejects by
+        # position): keep candidate↔row alignment by position, not by
+        # compacted order
+        pos = np.nonzero(cand_idx >= 0)[0]
+        cidx = cand_idx[pos]
         if len(cidx) == 0:
             self.consistency.update([])
             return None
         groups = [
-            set(np.nonzero(rows[i])[0].tolist()) | {int(cidx[i])}
-            for i in range(len(cidx))
+            set(np.nonzero(rows[p])[0].tolist()) | {int(cand_idx[p])}
+            for p in pos
         ]
         consistent = self.consistency.update(
             groups, candidates=[int(c) for c in cidx])
@@ -491,9 +508,11 @@ class MappingStage:
             fix_scale=fix_scale,
         )
         # fuse duplicated landmarks between the two sides of the loop
-        W = covis.covisibility_matrix(self.state)
-        group_q = (W[kf_slot] >= covis.MIN_WEIGHT).at[kf_slot].set(True)
-        group_c = (W[best] >= covis.MIN_WEIGHT).at[best].set(True)
+        # (two covisibility rows — never the (K, K) matrix)
+        rows_qc = covis.covisibility_rows(
+            self.state, jnp.asarray([kf_slot, best]))
+        group_q = (rows_qc[0] >= covis.MIN_WEIGHT).at[kf_slot].set(True)
+        group_c = (rows_qc[1] >= covis.MIN_WEIGHT).at[best].set(True)
         self.state, pt_remap = loop_closing.fuse_duplicate_points(
             self.state, group_q & self.state.kf_valid,
             group_c & self.state.kf_valid,

@@ -277,18 +277,17 @@ class SLAMSystem:
     def _reloc_candidates(self, frame, top_k: int = 5):
         """BoW retrieval for relocalization (DetectRelocalizationCandidates
         role).  Reads the tracker's view of the map + the worker-published
-        database reference."""
+        database reference.  Scale-safe: group scores expand only the
+        top-k candidates' covisibility rows (no (K, K) matrix)."""
         import numpy as _np
 
         db = self.mapping.db
         w = vocabulary.quantize(self.vocab, frame.feats.desc,
                                 frame.feats.valid)
         q = vocabulary.bow_vector(w, self.vocab.n_words)
-        W = covis.covisibility_matrix(self.tracker.state)
-        keep, scores = keyframe_db.detect_reloc_candidates(db, q, W)
-        s = _np.where(_np.asarray(keep), _np.asarray(scores), -1.0)
-        order = _np.argsort(-s)[:top_k]
-        return [int(k) for k in order if s[k] > 0]
+        cand_idx, _scores = keyframe_db.detect_reloc_candidates_grouped(
+            db, q, self.tracker.state, top_l=top_k)
+        return [int(k) for k in _np.asarray(cand_idx) if k >= 0]
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
