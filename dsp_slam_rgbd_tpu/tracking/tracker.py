@@ -245,8 +245,12 @@ def _track_stage_core(cam, state: ms.MapState, vote_pt_idx, base_pt_idx,
     rk = jnp.maximum(ref_kf, 0)
     ref_n = jnp.sum((state.kf_feat_pt[rk] >= 0)
                     & state.kf_feat_valid[rk]).astype(jnp.int32)
+    # window point count BEFORE the LOCAL_PTS compaction: when it exceeds
+    # the capacity, points were silently dropped from the tracked set —
+    # the host warns (no-silent-caps rule)
+    n_window_pts = jnp.sum(ms.point_mask_of(state, wmask)).astype(jnp.int32)
     stats = jnp.stack([n_matched, res.n_inliers.astype(jnp.int32), ref_kf,
-                       n_cl_tracked, n_cl_free, ref_n])
+                       n_cl_tracked, n_cl_free, ref_n, n_window_pts])
 
     vis = fnd = None
     if update_stats:
@@ -278,13 +282,13 @@ def _track_frame_fused(cam, state: ms.MapState, t_last, velocity,
     motion-model stage (`TrackWithMotionModel`, incl. the doubled-window
     retry of `Tracking.cc:966-976` as a `lax.cond`) chained into the
     local-map stage (`TrackLocalMap`) when it succeeds.  The host pays a
-    single dispatch + a single 13-int stats fetch per frame — the previous
+    single dispatch + a single 15-int stats fetch per frame — the previous
     two-stage split cost two round trips over the remote-TPU tunnel
     (~30-50 ms each), which capped end-to-end FPS regardless of kernel
     speed (tools/bench_pipeline.py).
 
     Returns (t_cw, pt_idx, stats, pt_visible', pt_found') with
-    stats = [s1(6) | s2(6) | mm_ok]; s2 = −1s when the motion-model stage
+    stats = [s1(7) | s2(7) | mm_ok]; s2 = −1s when the motion-model stage
     failed (host falls back to reference-KF tracking / relocalization)."""
     F = feat_xy.shape[0]
     base = jnp.full(F, -1, jnp.int32)
@@ -309,7 +313,7 @@ def _track_frame_fused(cam, state: ms.MapState, t_last, velocity,
         return t2, pt2, s2, vis, fnd
 
     def skip(_):
-        return (t1, pt1, jnp.full(6, -1, jnp.int32), state.pt_visible,
+        return (t1, pt1, jnp.full(7, -1, jnp.int32), state.pt_visible,
                 state.pt_found)
 
     t2, pt2, s2, vis, fnd = jax.lax.cond(mm_ok, do_local_map, skip, None)
@@ -342,6 +346,10 @@ class Tracker:
         self._key = jax.random.PRNGKey(0)
         self._kv_memo = None  # (kf_valid device array, host copy)
         self._stage_stats = None  # last fused tracking-stage stats (np)
+        # frames whose covisible window held more points than the LOCAL_PTS
+        # gather capacity (the excess is untracked that frame) — observable,
+        # never silent
+        self.local_pts_overflows = 0
         # optional place-recognition hook: frame -> candidate KF slots
         # (installed by the System when a BoW database exists — the
         # `DetectRelocalizationCandidates` path, KeyFrameDatabase.cc:199)
@@ -568,12 +576,29 @@ class Tracker:
             stereo=self.cfg.sensor in ("stereo", "rgbd"),
             update_stats=update_stats)
         stats = np.asarray(stats)  # the single per-stage host sync
+        self._warn_local_overflow(stats)
         if update_stats:
             self.state = self.state._replace(pt_visible=vis, pt_found=fnd)
         if stats[2] >= 0:
             self.ref_kf = int(stats[2])
         self._stage_stats = stats
         return frame._replace(t_cw=t_cw, pt_idx=pt_final), stats
+
+    def _warn_local_overflow(self, stats):
+        """Count + warn (once) when the frame's covisible window exceeded
+        the LOCAL_PTS gather capacity: the overflow points were silently
+        invisible to tracking this frame (no-silent-caps rule)."""
+        n_window = max(int(stats[6]),
+                       int(stats[13]) if len(stats) > 13 else -1)
+        if n_window > LOCAL_PTS:
+            self.local_pts_overflows += 1
+            if self.local_pts_overflows == 1:
+                import warnings
+
+                warnings.warn(
+                    f"local point window ({n_window}) exceeds LOCAL_PTS="
+                    f"{LOCAL_PTS}; overflow points are not tracked this "
+                    "frame", RuntimeWarning)
 
     def _update_last_frame(self):
         """`Tracking::UpdateLastFrame` (Tracking.cc:921-947): recompute the
@@ -632,16 +657,17 @@ class Tracker:
         # stage-1's — the split-stage path updated it after EVERY stage,
         # and the reference-KF fallback depends on it pointing at the
         # voted (possibly loop-side) keyframe
-        if stats[8] >= 0:
-            self.ref_kf = int(stats[8])
+        if stats[9] >= 0:
+            self.ref_kf = int(stats[9])
         elif stats[2] >= 0:
             self.ref_kf = int(stats[2])
-        if stats[12] == 0:  # motion-model stage failed → fallback chain
-            self._stage_stats = stats[0:6]
+        self._warn_local_overflow(stats)
+        if stats[14] == 0:  # motion-model stage failed → fallback chain
+            self._stage_stats = stats[0:7]
             return frame, False, False
         self.state = self.state._replace(pt_visible=vis, pt_found=fnd)
-        self._stage_stats = stats[6:12]
-        n_tracked = int(stats[7])
+        self._stage_stats = stats[7:14]
+        n_tracked = int(stats[8])
         self.n_inliers_last = n_tracked
         ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
         return frame._replace(t_cw=t_cw, pt_idx=pt_idx), ok, True

@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--deepsdf", default=None,
                     help="decoder checkpoint (.npz native or torch exp dir)")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--map-preset", default=None, choices=["kitti_large"],
+                    help="map capacity preset (kitti_large: 2048 KFs / "
+                    "300k pts for full KITTI odometry sequences)")
     ap.add_argument("--vocab", default=None,
                     help="ORB vocabulary npz (enables loop closing + BoW "
                          "relocalization)")
@@ -107,6 +110,8 @@ def main():
                                                sensor=args.sensor)
     else:
         cfg = cfg_mod.SystemConfig(sensor=args.sensor)
+    if args.map_preset == "kitti_large":
+        cfg = cfg_mod.replace(cfg, map=cfg_mod.MapConfig.kitti_large())
 
     params = spec = None
     if args.deepsdf:
@@ -218,6 +223,11 @@ def main():
         "n_objects": int(np.asarray(system.state.obj_valid).sum()),
         "loop_closures": system.loop_closures,
         "kf_slots_exhausted": system.kf_slots_exhausted,
+        # no-silent-caps observability: tracking frames whose covisible
+        # window overflowed LOCAL_PTS, and object pose edges lost to ring
+        # wrap (size MapConfig up if these grow)
+        "local_pts_overflows": system.tracker.local_pts_overflows,
+        "oobs_overwrites": system.mapping.oobs_overwrites,
         "final_status": system.tracker.status,
     }
     if args.gt and os.path.isfile(args.gt):
