@@ -47,6 +47,50 @@ def _dlt_pnp(pts_w: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
     return lie.rt_to_mat(R, t)
 
 
+def _planar_pnp(pts_w: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
+    """Planar minimal PnP: homography decomposition (IPPE/EPnP-planar
+    role, reference `PnPsolver.cc:667-858` β-case N=3).
+
+    The 12-dof DLT above is rank-deficient when the sample is coplanar
+    (nullspace dim ≥ 2 — common on road/wall scenes), so its pose is
+    garbage exactly where relocalization needs it most.  Here: fit the
+    sample's plane (SVD), express points in plane coordinates, solve the
+    2D→2D homography H ≃ [R·e1 | R·e2 | R·c + t], and re-orthonormalize
+    the first two columns.  Valid when the points ARE planar; on a
+    general sample its model scores fewer inliers than the DLT's and
+    loses the per-trial argmax in `solve_pnp_ransac`.
+    """
+    c = jnp.mean(pts_w, axis=0)
+    Q = pts_w - c
+    # plane basis: right singular vectors of the centered sample
+    _, _, Vt = jnp.linalg.svd(Q, full_matrices=False)
+    e1, e2 = Vt[0], Vt[1]
+    w = jnp.stack([Q @ e1, Q @ e2], axis=-1)          # (K, 2) plane coords
+    k = w.shape[0]
+    one = jnp.ones((k, 1))
+    hw = jnp.concatenate([w, one], axis=-1)           # (K, 3)
+    zero = jnp.zeros((k, 3))
+    r1 = jnp.concatenate([hw, zero, -xn[:, :1] * hw], axis=-1)
+    r2 = jnp.concatenate([zero, hw, -xn[:, 1:2] * hw], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)             # (2K, 9)
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    H = vecs[:, 0].reshape(3, 3)
+    # sign: plane origin must sit in front of the camera (depth = H[2,2])
+    H = H * jnp.where(H[2, 2] < 0, -1.0, 1.0)
+    s = jnp.sqrt(jnp.maximum(
+        jnp.linalg.norm(H[:, 0]) * jnp.linalg.norm(H[:, 1]), 1e-12))
+    h12 = H[:, :2] / s
+    # closest orthonormal 3x2 column pair
+    U, _, Vt2 = jnp.linalg.svd(h12, full_matrices=False)
+    r12 = U @ Vt2
+    r3 = jnp.cross(r12[:, 0], r12[:, 1])
+    Rp = jnp.stack([r12[:, 0], r12[:, 1], r3], axis=1)  # camera←plane
+    B = jnp.stack([e1, e2, jnp.cross(e1, e2)], axis=1)  # world←plane
+    R = Rp @ B.T
+    t = H[:, 2] / s - R @ c
+    return lie.rt_to_mat(R, t)
+
+
 class PnPResult(NamedTuple):
     t_cw: jnp.ndarray
     inliers: jnp.ndarray
@@ -73,13 +117,22 @@ def solve_pnp_ransac(cam, pts_w, uv, inv_sigma2, valid, key,
                             replace=True, p=p)
 
     def one_trial(ids):
-        T = _dlt_pnp(pts_w[ids], xn[ids])
-        pc = lie.transform_points(T, pts_w)
-        err = cam_ops.project(cam, pc) - uv
-        chi2 = jnp.sum(err * err, axis=-1) * inv_sigma2
-        inl = valid & (chi2 <= chi2_th) & (pc[:, 2] > 0)
-        finite = jnp.all(jnp.isfinite(T))
-        return jnp.where(finite, jnp.sum(inl), -1), T
+        # both minimal models per trial — the general 12-dof DLT and the
+        # planar homography decomposition — scored by inlier count: on a
+        # coplanar sample the DLT is rank-deficient (garbage pose), on a
+        # general sample the homography is; the argmax keeps whichever
+        # geometry the sample actually has, with no planarity threshold
+        def score(T):
+            pc = lie.transform_points(T, pts_w)
+            err = cam_ops.project(cam, pc) - uv
+            chi2 = jnp.sum(err * err, axis=-1) * inv_sigma2
+            inl = valid & (chi2 <= chi2_th) & (pc[:, 2] > 0)
+            return jnp.where(jnp.all(jnp.isfinite(T)), jnp.sum(inl), -1)
+
+        T_g = _dlt_pnp(pts_w[ids], xn[ids])
+        T_p = _planar_pnp(pts_w[ids], xn[ids])
+        s_g, s_p = score(T_g), score(T_p)
+        return jnp.maximum(s_g, s_p), jnp.where(s_g >= s_p, T_g, T_p)
 
     scores, Ts = jax.vmap(one_trial)(idx)
     best = jnp.argmax(scores)

@@ -221,3 +221,36 @@ def test_mono_init_planar_scene():
         lie.log_so3(res.t_21[:3, :3] @ jnp.asarray(T2)[:3, :3].T)
     )
     assert np.linalg.norm(R_err) < 0.02
+
+
+def test_pnp_planar_scene():
+    """Relocalization PnP on a PLANAR scene (road/wall pathology): every
+    RANSAC sample is coplanar, where the 12-dof DLT is rank-deficient and
+    its pose is garbage — the homography-decomposition minimal solver
+    (`pnp._planar_pnp`, the reference EPnP's planar case,
+    `PnPsolver.cc:667-858`) must carry the trial (VERDICT r4 weak #5)."""
+    rng = np.random.default_rng(6)
+    # ground plane y = 1.5, camera looking forward/down
+    xz = rng.uniform([-4.0, 4.0], [4.0, 14.0], (120, 2))
+    pts = jnp.asarray(np.stack(
+        [xz[:, 0], np.full(120, 1.5), xz[:, 1]], axis=1), jnp.float32)
+    T_true = make_pose(rng, rot=0.15, trans=0.8)
+    uv = cam_ops.project(CAM, lie.transform_points(T_true, pts))
+
+    # the general DLT alone IS degenerate here: a coplanar minimal sample
+    # produces a pose whose reprojection is off by orders of magnitude
+    xn = cam_ops.pixel_rays(CAM, uv)[:, :2]
+    T_dlt = pnp._dlt_pnp(pts[:6], xn[:6])
+    pc = lie.transform_points(T_dlt, pts)
+    err_dlt = np.linalg.norm(
+        np.asarray(cam_ops.project(CAM, pc)) - np.asarray(uv), axis=1)
+    assert np.median(err_dlt) > 5.0, "DLT unexpectedly fine on planar"
+
+    res = pnp.solve_pnp_ransac(
+        CAM, pts, uv, jnp.ones(len(pts)), jnp.ones(len(pts), bool),
+        jax.random.PRNGKey(1),
+    )
+    assert bool(res.ok)
+    err = np.asarray(lie.log_se3(res.t_cw @ lie.inv_se3(T_true)))
+    assert np.linalg.norm(err) < 0.02
+    assert int(res.n_inliers) > 100
