@@ -205,3 +205,179 @@ def test_rotation_prior_matches_reference(ref_modules):
     J, res = losses.compute_rotation_loss_sim3(jnp.asarray(t_obj_cam))
     np.testing.assert_allclose(float(res), float(res_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_optimizer_cls(ref_modules):
+    """Load the reference's `reconstruct/optimizer.py` with its heavy
+    dependencies (`reconstruct.utils` → skimage/addict/open3d, absent in
+    this env) stubbed to the two symbols the optimizer actually touches."""
+    utils_stub = types.ModuleType("reconstruct.utils")
+
+    class ForceKeyErrorDict(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    utils_stub.ForceKeyErrorDict = ForceKeyErrorDict
+    utils_stub.create_voxel_grid = None
+    utils_stub.convert_sdf_voxels_to_mesh = None
+    sys.modules["reconstruct.utils"] = utils_stub
+
+    spec = importlib.util.spec_from_file_location(
+        "reconstruct.optimizer", f"{REF}/reconstruct/optimizer.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["reconstruct.optimizer"] = mod
+    spec.loader.exec_module(mod)
+    return mod.Optimizer, ForceKeyErrorDict
+
+
+# ellipsoid decoder for the full-trajectory test: distinct axes make
+# rotation OBSERVABLE — a sphere leaves the k4-weighted rotation direction
+# in the data null space and the two GN trajectories then split on f32
+# tie-breaking noise rather than on semantics
+ELL_AXES = np.array([0.72, 0.44, 0.58], np.float32)
+
+
+def torch_ellipsoid_decoder(inputs):
+    xyz = inputs[..., CODE_LEN:]
+    code = inputs[..., :CODE_LEN]
+    axes = torch.from_numpy(ELL_AXES) * (1.0 + 0.2 * code[..., :3])
+    return torch.linalg.norm(xyz / axes, dim=-1, keepdim=True) - 1.0
+
+
+def jax_ellipsoid_fn(params, inputs):
+    xyz = inputs[..., CODE_LEN:]
+    code = inputs[..., :CODE_LEN]
+    axes = jnp.asarray(ELL_AXES) * (1.0 + 0.2 * code[..., :3])
+    return jnp.linalg.norm(xyz / axes, axis=-1) - 1.0
+
+
+ELL_SPEC = deepsdf.AnalyticSdfSpec(latent_size=CODE_LEN,
+                                   fn=jax_ellipsoid_fn)
+
+
+def _parity_problem(rng):
+    """Ellipsoid-world reconstruction inputs shared verbatim by both
+    sides.  Ground truth: zero-code ellipsoid (axes ELL_AXES) at scale
+    s_gt, identity orientation, center `c`."""
+    n_pts, n_fg, n_bg = 96, 72, 24
+    s_gt = 0.9
+    center = np.array([0.25, -0.1, 4.0], np.float32)
+
+    u = rng.standard_normal((n_pts, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts_cam = center + s_gt * (ELL_AXES * u)  # on the surface
+
+    def first_hit(rays):
+        # first ray-ellipsoid intersection: |(t·d − c) / (s·a)| = 1
+        d = rays / (s_gt * ELL_AXES)
+        v = -center / (s_gt * ELL_AXES)
+        a = np.sum(d * d, axis=1)
+        b = 2.0 * d @ v
+        cc = v @ v - 1.0
+        disc = np.sqrt(np.maximum(b * b - 4 * a * cc, 0.0))
+        return (-b - disc) / (2.0 * a)
+
+    u2 = rng.standard_normal((n_fg, 3)).astype(np.float32)
+    u2 /= np.linalg.norm(u2, axis=1, keepdims=True)
+    p2 = center + s_gt * (ELL_AXES * u2)
+    rays_fg = (p2 / np.linalg.norm(p2, axis=1, keepdims=True)).astype(
+        np.float32)
+    depth_fg = first_hit(rays_fg).astype(np.float32)
+
+    d3 = rng.standard_normal((n_bg, 3)).astype(np.float32)
+    d3 /= np.linalg.norm(d3, axis=1, keepdims=True)
+    rays_bg = (center * 1.6 + 2.0 * s_gt * (ELL_AXES * d3))
+    rays_bg = (rays_bg / np.linalg.norm(rays_bg, axis=1, keepdims=True)
+               ).astype(np.float32)
+
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = np.asarray(
+        lie.exp_so3(jnp.asarray([0.0, 0.05, 0.0]))) * 1.1 * s_gt
+    T0[:3, 3] = center + [0.06, -0.04, 0.1]
+    rays = np.concatenate([rays_fg, rays_bg])
+    return T0, pts_cam, rays, depth_fg
+
+
+def test_full_reconstruct_trajectory_matches_reference(ref_modules,
+                                                       ref_optimizer_cls):
+    """END-TO-END optimizer parity: the reference's own `reconstruct_object`
+    GN loop (`/root/reference/reconstruct/optimizer.py:90-205`, executed
+    under torch with the losses un-stubbed) against our jitted loop in
+    strict-parity mode (`chord_sampling=False`: the same global-linspace
+    depth sampling), on identical inputs — poses compared after 1, 2, 3, 6
+    and 10 iterations, plus ground-truth error equivalence at the end.
+
+    Why the bands widen with iteration count: the loop is f32 and its
+    normal-equation solve runs at condition ~1e5 (the k4 = 1e7 rotation
+    prior), so trajectories amplify rounding noise.  MEASURED: the
+    reference against ITSELF with a 1e-6 input perturbation diverges to
+    dT = 0.7 by iteration 10 at the KITTI scale_damping=1 — per-iteration
+    bitwise tracking at depth 10 is unattainable for any reimplementation
+    (or for the reference on different hardware).  The test therefore runs
+    the trajectory at scale_damping=20 (both sides), where the dynamics
+    are stable and coupling is assertable at every depth; per-term H/b
+    equality at the KITTI constants is covered by the term-level tests
+    above."""
+    Optimizer, FKED = ref_optimizer_cls
+    rng = np.random.default_rng(11)
+    T0, pts_cam, rays, depth_fg = _parity_problem(rng)
+    n_rays = len(rays)
+    n_fg = len(depth_fg)
+    center = np.array([0.25, -0.1, 4.0], np.float32)
+    s_gt = 0.9
+
+    from dsp_slam_rgbd_tpu.recon.optimizer import (ReconConfig,
+                                                   reconstruct_object)
+
+    for iters, tol_t in ((1, 2e-4), (2, 1e-2), (3, 5e-2), (6, 0.12),
+                         (10, 0.12)):
+        cfg_ref = FKED(
+            data_type="Other",
+            optimizer=FKED(
+                code_len=CODE_LEN, num_depth_samples=50,
+                cut_off_threshold=0.01,
+                joint_optim=FKED(k1=1.0, k2=100.0, k3=0.25, k4=1e7,
+                                 b1=0.20, b2=0.025,
+                                 num_iterations=iters, learning_rate=1.0,
+                                 scale_damping=20.0),
+            ),
+        )
+        ref_opt = Optimizer(torch_ellipsoid_decoder, cfg_ref)
+        ref_out = ref_opt.reconstruct_object(
+            T0.astype(np.float32), pts_cam.copy(), rays.copy(),
+            depth_fg.copy())
+        assert ref_out.is_good
+
+        cfg = ReconConfig(code_len=CODE_LEN, num_depth_samples=50,
+                          num_iterations=iters, chord_sampling=False,
+                          max_grad_points=4096, max_valid_samples=8192,
+                          scale_damping=20.0)
+        out = reconstruct_object(
+            {}, ELL_SPEC, cfg, jnp.asarray(T0), jnp.asarray(pts_cam),
+            jnp.ones(len(pts_cam), bool), jnp.asarray(rays),
+            jnp.ones(n_rays, bool),
+            jnp.concatenate([jnp.asarray(depth_fg),
+                             jnp.zeros(n_rays - n_fg)]),
+            jnp.arange(n_rays) < n_fg,
+        )
+        assert bool(out.is_good)
+        np.testing.assert_allclose(np.asarray(out.t_cam_obj),
+                                   ref_out.t_cam_obj, atol=tol_t,
+                                   err_msg=f"pose diverged at {iters} iters")
+
+        # ground-truth error equivalence: both implementations sit at the
+        # same distance from the true pose at every depth
+        def gt_errs(Tm):
+            Tm = np.asarray(Tm)
+            s = np.cbrt(np.linalg.det(Tm[:3, :3]))
+            return (np.linalg.norm(Tm[:3, 3] - center), abs(s - s_gt))
+
+        t_r, s_r = gt_errs(ref_out.t_cam_obj)
+        t_o, s_o = gt_errs(out.t_cam_obj)
+        assert abs(t_o - t_r) < 0.05, (iters, t_o, t_r)
+        assert abs(s_o - s_r) < 0.05, (iters, s_o, s_r)
