@@ -36,3 +36,34 @@ def test_checkpoint_roundtrip(tmp_path):
             np.asarray(getattr(st, f)), np.asarray(getattr(st2, f)),
             err_msg=f,
         )
+
+
+def test_live_viewer_serves_map():
+    """The live HTTP viewer (reference Viewer role on a headless TPU host,
+    `src/Viewer.cc:60`) serves the page and a rendered map PNG of the
+    current system state."""
+    import urllib.request
+
+    from dsp_slam_rgbd_tpu.config import MapConfig, SystemConfig
+    from dsp_slam_rgbd_tpu.system.live_viewer import LiveViewer
+    from dsp_slam_rgbd_tpu.system.slam import SLAMSystem
+
+    sys_ = SLAMSystem(SystemConfig(
+        map=MapConfig(max_kf=4, max_feat=32, max_pts=64, max_obj=2,
+                      max_oobs=8)))
+    viewer = LiveViewer(sys_, port=0, refresh_s=0.1)
+    try:
+        import time as _time
+
+        for _ in range(50):  # wait for the first render
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{viewer.port}/", timeout=5).read()
+            png = urllib.request.urlopen(
+                f"http://127.0.0.1:{viewer.port}/map.png", timeout=5).read()
+            if png[:8] == b"\x89PNG\r\n\x1a\n":
+                break
+            _time.sleep(0.1)
+        assert b"live map" in page
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        viewer.close()

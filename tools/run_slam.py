@@ -78,6 +78,9 @@ def main():
                          "depth 4-5 (10k-100k words) at KITTI scale or BoW "
                          "scores saturate and retrieval aliases "
                          "(tests/test_vocab_scale.py)")
+    ap.add_argument("--live-port", type=int, default=0, metavar="PORT",
+                    help="serve a live top-down map view over HTTP (the "
+                    "reference Viewer's role on a headless TPU host)")
     ap.add_argument("--viz-every", type=int, default=0, metavar="N",
                     help="write an incremental top-down map/trajectory PNG "
                          "+ annotated frame every N frames (the live-viewer "
@@ -171,6 +174,13 @@ def main():
 
     import numpy as np
 
+    viewer = None
+    if args.live_port:
+        from dsp_slam_rgbd_tpu.system.live_viewer import LiveViewer
+
+        viewer = LiveViewer(system, port=args.live_port)
+        print(f"live map view: http://0.0.0.0:{viewer.port}/")
+
     times = []
     pf = FramePrefetcher(system.tracker, frames(), sensor=args.sensor,
                          fps=cfg.tracking.fps, depth=2)
@@ -194,6 +204,8 @@ def main():
                 poses, pts,
                 os.path.join(args.out_dir, "viz", f"map_{i:06d}.png"))
 
+    if viewer is not None:
+        viewer.close()
     system.save_trajectory_kitti(os.path.join(args.out_dir,
                                               "CameraTrajectory.txt"))
     system.save_trajectory_tum(os.path.join(args.out_dir,
