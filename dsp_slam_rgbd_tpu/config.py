@@ -77,7 +77,7 @@ class SystemConfig:
     # threads, `System.cc:120-143`): keyframe mapping jobs run on a worker
     # thread and their results are adopted exactly this many frames after
     # enqueue (deterministic bounded staleness).  0 = fully synchronous.
-    async_kf_frames: int = 2
+    async_kf_frames: int = 3
 
 
 def _parse_opencv_yaml(path: str) -> dict:

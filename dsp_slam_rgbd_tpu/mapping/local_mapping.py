@@ -835,14 +835,19 @@ def ba_cull_dispatch(state: ms.MapState, cam, center_kf: int,
             "shapes": (K, P, F, O, Q)}
 
 
-def ba_cull_read(pending):
+def ba_cull_read(pending, vec=None):
     """Fetch + verify a `ba_cull_dispatch` result.
+
+    `vec`: optionally the ALREADY-FETCHED result vector (callers that
+    bundle several tail fetches into one round trip pass it; see
+    `MappingStage.process`).
 
     Returns (fit, culled_slots, redo_state): fit=True → the optimistic
     state was correct; fit=False → the caller must replace its state with
     `redo_state` (re-solved from the pre-BA state with grown buckets) and
     re-apply anything it stacked on the optimistic state."""
-    vec = np.asarray(pending["vec"])  # THE keyframe-stage tail fetch
+    if vec is None:
+        vec = np.asarray(pending["vec"])  # THE keyframe-stage tail fetch
     counts, culled_v = vec[:5], vec[5:]
     buckets = pending["buckets"]
     K, P, F, O, Q = pending["shapes"]

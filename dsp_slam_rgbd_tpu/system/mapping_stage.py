@@ -211,8 +211,24 @@ class MappingStage:
         self.state = pend_ba["state"]
         ins_args = None
         if recon_pending is not None:
-            ins_args = self._finish_new_objects(slot, recon_pending, kid)
-        fit, culled, redo = lm.ba_cull_read(pend_ba)
+            # BUNDLED tail fetch: [recon flags | BA tail vec] in ONE round
+            # trip — two sequential fetches each waited the device FIFO +
+            # tunnel RTT, and at dense keyframe cadence the worker's wall
+            # time exceeded the job arrival rate (adoption then blocked
+            # the frame loop ~58 ms/frame, profiled)
+            flags_dev = recon_pending[3]
+            Ucap = recon_pending[4]
+            O = self.state.obj_valid.shape[0]
+            both = np.asarray(jnp.concatenate([
+                flags_dev.astype(jnp.float32),
+                pend_ba["vec"].astype(jnp.float32)]))
+            flags = both[:Ucap + O].astype(np.int64)
+            vec = both[Ucap + O:]
+            ins_args = self._finish_new_objects(slot, recon_pending, kid,
+                                                flags=flags)
+            fit, culled, redo = lm.ba_cull_read(pend_ba, vec=vec)
+        else:
+            fit, culled, redo = lm.ba_cull_read(pend_ba)
         if not fit:
             # rare bucket overflow: adopt the re-solved state and re-apply
             # the object insert on top of it
@@ -357,13 +373,15 @@ class MappingStage:
                                          oobs_valid=oobs_live)
         return pending
 
-    def _finish_new_objects(self, kf_slot: int, pending, kid: int):
+    def _finish_new_objects(self, kf_slot: int, pending, kid: int,
+                            flags=None):
         """Read the unmatched-reconstruction flags and scatter every
-        accepted object into the map (one dispatch)."""
+        accepted object into the map (one dispatch).  `flags`: optional
+        pre-fetched flags vector (bundled tail fetch)."""
         from dsp_slam_rgbd_tpu.system import object_stage as ostage
 
         res, bb_min, bb_max, good, obj_valid_np, _U = \
-            ostage.recon_unmatched_read(pending)
+            ostage.recon_unmatched_read(pending, flags=flags)
         Ucap = len(good)
         slots = np.full(Ucap, -1, np.int64)
         free = np.nonzero(~obj_valid_np)[0]

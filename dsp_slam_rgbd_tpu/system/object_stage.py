@@ -252,11 +252,14 @@ def recon_unmatched(params, spec, cfg, state, detections, det_indices,
     return res, bb_min, bb_max, flags, Ucap, U
 
 
-def recon_unmatched_read(pending):
+def recon_unmatched_read(pending, flags=None):
     """Fetch + unpack a `recon_unmatched` result — call AFTER dispatching
-    downstream device work (local BA) so the flags round trip overlaps it."""
-    res, bb_min, bb_max, flags, Ucap, U = pending
-    flags = np.asarray(flags)  # the object stage's single blocking fetch
+    downstream device work (local BA) so the flags round trip overlaps it.
+    `flags`: optionally the already-fetched flags vector (bundled-fetch
+    callers)."""
+    res, bb_min, bb_max, flags_dev, Ucap, U = pending
+    if flags is None:
+        flags = np.asarray(flags_dev)  # the object stage's blocking fetch
     good = flags[:Ucap].astype(bool)
     obj_valid = flags[Ucap:].astype(bool)
     return res, bb_min, bb_max, good, obj_valid, U

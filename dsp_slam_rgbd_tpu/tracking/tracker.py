@@ -102,6 +102,20 @@ match_local_points = partial(jax.jit, static_argnames=("cam",
     _match_body)
 
 
+@jax.jit
+def _frame_epilogue(t_cw, last_t_cw, ref_pose):
+    """Per-frame pose epilogue as ONE device program: the motion-model
+    velocity (orthonormalized — it re-enters pose predictions via
+    transpose-inverses, which amplify any SO(3) defect 2x/frame) and the
+    relative-trajectory transform T_rel = T_cw · T_ref⁻¹.  Composing these
+    eagerly cost ~15 tiny per-op dispatches per frame; on the remote-TPU
+    tunnel that client overhead was ~half the non-fetch host time
+    (measured ~92 ms/frame of host work at 5.3 FPS)."""
+    velocity = lie.orthonormalize_se3(t_cw @ lie.inv_se3(last_t_cw))
+    t_rel = t_cw @ lie.inv_se3(ref_pose)
+    return velocity, t_rel
+
+
 @partial(jax.jit, static_argnames=("n_keep",))
 def _local_window_device(state: ms.MapState, pt_idx: jnp.ndarray,
                          n_keep: int) -> jnp.ndarray:
@@ -354,6 +368,18 @@ class Tracker:
         # (installed by the System when a BoW database exists — the
         # `DetectRelocalizationCandidates` path, KeyFrameDatabase.cc:199)
         self.reloc_candidates_fn = None
+        # mapping-idleness probe (installed by the System): the reference
+        # gates keyframe condition c1b on LocalMapping being idle
+        # (`Tracking.cc:1103-1110` bLocalMappingIdle) — without it, dense
+        # insertion outruns the mapping stage and every frame becomes a
+        # keyframe while jobs queue
+        self.mapping_idle_fn = None
+        # optional latency-overlap hook (installed by the System): called
+        # between the per-frame program DISPATCH and its stats FETCH, so
+        # host-side waits that must happen this frame anyway (the mapping
+        # worker's tail latency before a due adoption) ride under the
+        # stats round trip instead of serializing after it
+        self.pre_fetch_hook = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -461,21 +487,23 @@ class Tracker:
 
         was_lost = self.status == "LOST"
         self.status = "OK" if ok else "LOST"
+        # velocity + relative-trajectory transform: one fused dispatch
+        # (outputs stay DEVICE arrays — a per-frame np.asarray here is a
+        # blocking tunnel roundtrip; savers convert in bulk at exit)
+        last_t = self.last_frame.t_cw if self.last_frame is not None \
+            else jnp.eye(4)
+        ref_pose = self.state.kf_pose[self.ref_kf] if self.ref_kf >= 0 \
+            else jnp.eye(4)
+        velocity, t_rel = _frame_epilogue(frame.t_cw, last_t, ref_pose)
         if ok and self.last_frame is not None and not was_lost:
-            # orthonormalized: the velocity re-enters pose predictions via
-            # transpose-inverses, which amplify any SO(3) defect 2x/frame
-            self.velocity = lie.orthonormalize_se3(
-                frame.t_cw @ lie.inv_se3(self.last_frame.t_cw))
+            self.velocity = velocity
         elif was_lost:
             # the previous frame's pose is meaningless after a loss: a
             # velocity computed against it poisons the motion model for
             # every frame following a relocalization
             self.velocity = jnp.eye(4)
-        # store DEVICE arrays: a per-frame np.asarray here is a blocking
-        # ~30-50 ms tunnel roundtrip; savers convert in bulk at exit
         self.trajectory.append((timestamp, frame.t_cw, ok))
         if self.ref_kf >= 0:
-            t_rel = frame.t_cw @ lie.inv_se3(self.state.kf_pose[self.ref_kf])
             self.relative_trajectory.append(
                 (timestamp, self.ref_kf, t_rel, ok)
             )
@@ -652,6 +680,12 @@ class Tracker:
             lf.pt_idx, lf.feats.angle, radius, th_depth_m,
             n_keep=self.cfg.map.local_window,
             stereo=self.cfg.sensor in ("stereo", "rgbd"))
+        try:  # start the device→host copy before any host-side waiting
+            stats.copy_to_host_async()
+        except Exception:
+            pass
+        if self.pre_fetch_hook is not None:
+            self.pre_fetch_hook()
         stats = np.asarray(stats)  # the single per-frame host sync
         # ref KF = top covisibility voter, stage-2's when it ran, else
         # stage-1's — the split-stage path updated it after EVERY stage,
@@ -773,8 +807,8 @@ class Tracker:
           :1085-1100) — this is what keeps map density up when driving
           into unmapped space;
         - c1a: ≥ MaxFrames since the last KF;
-        - c1b: ≥ MinFrames since the last KF and mapping idle (local
-          mapping is synchronous in this design, so idle is always true);
+        - c1b: ≥ MinFrames since the last KF and the mapping stage idle
+          (no keyframe job in flight — the reference's bLocalMappingIdle);
         - c1c: non-mono and (weak tracking vs the reference KF, < 25 %, or
           close-point pressure);
         - c2: tracked inliers below thRefRatio of the reference KF's
@@ -792,6 +826,16 @@ class Tracker:
         if self.cfg.sensor != "mono" and stats is not None:
             need_close = int(stats[4]) > self.cfg.tracking.close_free_th \
                 and int(stats[3]) < self.cfg.tracking.close_tracked_th
+            # async mapping: the previous keyframe's spawned close points
+            # only become visible at adoption (async_kf_frames later), so
+            # the census would re-fire on the SAME unclaimed points every
+            # frame until then, inserting back-to-back duplicate keyframes
+            # (measured: 20 vs 14 KFs on the bench sequence).  The
+            # reference's Tracking gates this on LocalMapping idleness
+            # (`NeedNewKeyFrame`'s bLocalMappingIdle, Tracking.cc:1077);
+            # bounded staleness makes the gate a simple frame-count check.
+            need_close = need_close and \
+                since > max(self.cfg.async_kf_frames, 0)
 
         # thRefRatio: 0.75 stereo/RGB-D, 0.9 mono, 0.4 when the map is tiny
         # (`Tracking.cc:1103-1110`)
@@ -800,7 +844,9 @@ class Tracker:
             th_ref = 0.4
 
         c1a = since >= self.cfg.tracking.max_frames_between_kf
-        c1b = since >= self.cfg.tracking.min_frames_between_kf
+        idle = self.mapping_idle_fn() if self.mapping_idle_fn is not None \
+            else True
+        c1b = since >= self.cfg.tracking.min_frames_between_kf and idle
         c1c = self.cfg.sensor != "mono" and (
             self.n_inliers_last < ref_n * 0.25 or need_close
         )
