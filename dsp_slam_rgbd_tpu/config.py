@@ -33,6 +33,16 @@ class TrackingConfig:
     # nearly every frame and exhaust the keyframe pool.
     close_tracked_th: int = 100
     close_free_th: int = 70
+    # EXPERIMENTAL one-frame-deep pipelined tracking in the steady OK
+    # state: this frame's fused program dispatches BEFORE the previous
+    # frame's stats are fetched, so the per-frame round trip rides under
+    # the next frame's device compute.  Decisions (keyframe census,
+    # OK/LOST) then lag one frame; state-machine transitions drain the
+    # pipeline and run synchronously.  Default OFF: the one-frame decision
+    # lag measurably costs accuracy on aggressive motion (max per-frame
+    # trajectory error 0.05 -> 0.07 on the e2e fixture) — latency-critical
+    # deployments can trade that; see tests/test_pipelined_tracking.py.
+    pipelined: bool = False
 
 
 @dataclass(frozen=True)

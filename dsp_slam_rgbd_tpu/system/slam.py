@@ -154,10 +154,13 @@ class SLAMSystem:
             finally:
                 event.set()
 
-    def _enqueue_kf(self, frame, detections, timestamp: float):
+    def _enqueue_kf(self, frame, detections, timestamp: float, fid=None):
         """Allocate the keyframe slot and hand the whole keyframe stage to
         the mapping worker (or run it inline in sync mode).  Returns False
-        when keyframe capacity is exhausted."""
+        when keyframe capacity is exhausted.  `fid`: the keyframe frame's
+        id (the pipelined tracker finalizes one frame behind)."""
+        if fid is None:
+            fid = self.tracker.frame_id
         slot = ms.alloc_slots(self._kf_valid_host, 1)[0]
         if slot < 0:
             # keyframe capacity exhausted: observable, never silent — the
@@ -175,11 +178,11 @@ class SLAMSystem:
         slot = int(slot)
         self._kf_valid_host[slot] = True
         job = KFJob(frame=frame, detections=detections, kf_slot=slot,
-                    kid=self.n_kf, frame_id=self.tracker.frame_id,
+                    kid=self.n_kf, frame_id=fid,
                     timestamp=timestamp,
                     view_pt_first=self.state.pt_first_kf)
         self.n_kf += 1
-        self.tracker.last_kf_frame_id = self.tracker.frame_id
+        self.tracker.last_kf_frame_id = fid
         # bootstrap keyframes run inline: the next frame cannot track
         # against a map that does not exist yet
         sync = self.cfg.async_kf_frames <= 0 or self.n_kf <= 2
@@ -281,8 +284,14 @@ class SLAMSystem:
             self._pending[0][2].wait()
 
     def flush(self):
-        """Adopt every in-flight mapping job (joins the worker pipeline).
-        Call before reading final map state / saving / resetting."""
+        """Finalize the tracking pipeline and adopt every in-flight
+        mapping job (joins the worker pipeline).  Call before reading
+        final map state / saving / resetting."""
+        for out in self.tracker.finalize_pending():
+            self.state = self.tracker.state
+            if not self.localization_only:
+                self._handle_track_out(out, None)
+        self.state = self.tracker.state
         while self._pending:
             self._adopt(self._pending.popleft())
 
@@ -386,35 +395,44 @@ class SLAMSystem:
         # fast the worker happens to run)
         self._adopt_due()
         self.tracker.state = self.state
-        out = self.tracker.track(img, img_right=img_right,
-                                 depth_map=depth_map, timestamp=timestamp,
-                                 frame=frame)
+        outs = self.tracker.track(img, img_right=img_right,
+                                  depth_map=depth_map, timestamp=timestamp,
+                                  frame=frame)
         # the tracker updates per-point found/visible statistics
         self.state = self.tracker.state
         if self.localization_only:
-            return out
-        if out["new_kf"]:
-            first_kf = self.n_kf == 0
-            if self.tracker.status == "OK" and first_kf \
-                    and self.cfg.sensor == "mono" \
-                    and hasattr(self.tracker, "init_result"):
-                self._insert_mono_init()
-                self.tracker.state = self.state
-            else:
-                self._enqueue_kf(out["frame"], detections, timestamp)
-            if first_kf and self.tracker.ref_kf >= 0 \
-                    and not self.tracker.relative_trajectory:
-                # backfill the init frame into the relative trajectory (its
-                # reference KF did not exist yet at track time)
-                fr = out["frame"]
-                t_rel = np.asarray(
-                    fr.t_cw
-                    @ lie.inv_se3(self.state.kf_pose[self.tracker.ref_kf])
-                )
-                self.tracker.relative_trajectory.append(
-                    (timestamp, self.tracker.ref_kf, t_rel, True)
-                )
-        return out
+            return outs[-1]
+        for out in outs:
+            self._handle_track_out(out, detections)
+        return outs[-1]
+
+    def _handle_track_out(self, out, detections):
+        """Keyframe handling for one finalized tracking result (the
+        pipelined tracker can finalize 0-2 frames per call)."""
+        if not out.get("new_kf"):
+            return
+        first_kf = self.n_kf == 0
+        timestamp = out.get("timestamp", 0.0)
+        if self.tracker.status == "OK" and first_kf \
+                and self.cfg.sensor == "mono" \
+                and hasattr(self.tracker, "init_result"):
+            self._insert_mono_init()
+            self.tracker.state = self.state
+        else:
+            self._enqueue_kf(out["frame"], detections, timestamp,
+                             fid=out.get("fid"))
+        if first_kf and self.tracker.ref_kf >= 0 \
+                and not self.tracker.relative_trajectory:
+            # backfill the init frame into the relative trajectory (its
+            # reference KF did not exist yet at track time)
+            fr = out["frame"]
+            t_rel = np.asarray(
+                fr.t_cw
+                @ lie.inv_se3(self.state.kf_pose[self.tracker.ref_kf])
+            )
+            self.tracker.relative_trajectory.append(
+                (timestamp, self.tracker.ref_kf, t_rel, True)
+            )
 
     # ------------------------------------------------------------------
     def _insert_mono_init(self):

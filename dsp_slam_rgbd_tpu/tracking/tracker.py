@@ -360,6 +360,7 @@ class Tracker:
         self._key = jax.random.PRNGKey(0)
         self._kv_memo = None  # (kf_valid device array, host copy)
         self._stage_stats = None  # last fused tracking-stage stats (np)
+        self._inflight = None     # one-frame-deep pipelined dispatch
         # frames whose covisible window held more points than the LOCAL_PTS
         # gather capacity (the excess is untracked that frame) — observable,
         # never silent
@@ -435,24 +436,32 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def track(self, img=None, img_right=None, depth_map=None,
-              timestamp: float = 0.0, frame: Optional[Frame] = None) -> dict:
-        """Process one frame.  Returns a status dict; the caller (System)
-        handles keyframe insertion into local mapping.
+              timestamp: float = 0.0, frame: Optional[Frame] = None) -> list:
+        """Process one frame.  Returns a LIST of status dicts (in frame
+        order); the caller (System) handles keyframe insertion per dict.
+
+        In the steady OK state with `TrackingConfig.pipelined`, tracking
+        is PIPELINED one frame deep: this call dispatches the current
+        frame's fused program and finalizes (fetches + decides) the
+        PREVIOUS frame — the per-frame stats round trip rides under the
+        next frame's device compute instead of serializing the loop.  The
+        returned dicts then describe the previous frame; a provisional
+        dict (``provisional=True``) is returned while the pipeline primes.
+        State-machine transitions (init, loss, relocalization, post-loop
+        re-anchoring) drain the pipeline and run synchronously.
 
         `frame`: a pre-built Frame (see `system/prefetch.FramePrefetcher`:
         upload + ORB extraction dispatched one frame AHEAD on a worker
-        thread, so the extraction compute of frame N+1 overlaps frame N's
-        tracking fetch — the overlap the reference gets from running
-        extraction inside its tracking thread while mapping runs
-        elsewhere)."""
+        thread)."""
         self.frame_id += 1
         if frame is None:
             frame = self.make_frame(img, img_right, depth_map, timestamp)
         else:
             timestamp = frame.timestamp
-        out = {"new_kf": False, "frame": frame, "ok": False}
 
         if self.status == "NOT_INITIALIZED":
+            out = {"new_kf": False, "frame": frame, "ok": False,
+                   "fid": self.frame_id, "timestamp": timestamp}
             if self.cfg.sensor in ("stereo", "rgbd"):
                 ok = self._stereo_init(frame)
             else:
@@ -465,9 +474,19 @@ class Tracker:
                     (timestamp, np.asarray(self.last_frame.t_cw), True)
                 )
             out["frame"] = self.last_frame or frame
-            return out
+            return [out]
 
-        # --- normal tracking ---
+        if self.cfg.tracking.pipelined and self.status == "OK" \
+                and self.last_frame is not None and not self.map_changed:
+            return self._track_pipelined(frame, timestamp)
+        outs = self.finalize_pending()  # drain the pipeline before sync
+        outs += self._track_sync(frame, timestamp, self.frame_id)
+        return outs
+
+    def _track_sync(self, frame: Frame, timestamp: float,
+                    fid: int) -> list:
+        """The synchronous per-frame path (dispatch + immediate fetch +
+        fallback chain) — used outside the steady pipelined state."""
         # fast path: motion-model + local-map as ONE fused dispatch with a
         # single stats fetch; the (rare) failure branches fall back to the
         # eager reference-KF / relocalization stages below
@@ -484,17 +503,26 @@ class Tracker:
                 frame, n_tracked = self._track_local_map(frame)
                 ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
                 self.n_inliers_last = n_tracked
+        return [self._commit_frame(frame, timestamp, fid, ok)]
 
+    def _commit_frame(self, frame: Frame, timestamp: float, fid: int,
+                      ok: bool, velocity=None, t_rel=None,
+                      rel_ref=None) -> dict:
+        """Shared per-frame epilogue: status transition, motion-model
+        velocity, trajectory entries, keyframe census.  `velocity`/`t_rel`
+        may be precomputed (the pipelined path computes them at dispatch
+        time); otherwise one fused epilogue dispatch derives them."""
         was_lost = self.status == "LOST"
         self.status = "OK" if ok else "LOST"
-        # velocity + relative-trajectory transform: one fused dispatch
-        # (outputs stay DEVICE arrays — a per-frame np.asarray here is a
-        # blocking tunnel roundtrip; savers convert in bulk at exit)
-        last_t = self.last_frame.t_cw if self.last_frame is not None \
-            else jnp.eye(4)
-        ref_pose = self.state.kf_pose[self.ref_kf] if self.ref_kf >= 0 \
-            else jnp.eye(4)
-        velocity, t_rel = _frame_epilogue(frame.t_cw, last_t, ref_pose)
+        if velocity is None:
+            # one fused dispatch (outputs stay DEVICE arrays — a per-frame
+            # np.asarray here is a blocking tunnel roundtrip; savers
+            # convert in bulk at exit)
+            last_t = self.last_frame.t_cw if self.last_frame is not None \
+                else jnp.eye(4)
+            ref_pose = self.state.kf_pose[self.ref_kf] if self.ref_kf >= 0 \
+                else jnp.eye(4)
+            velocity, t_rel = _frame_epilogue(frame.t_cw, last_t, ref_pose)
         if ok and self.last_frame is not None and not was_lost:
             self.velocity = velocity
         elif was_lost:
@@ -503,15 +531,134 @@ class Tracker:
             # every frame following a relocalization
             self.velocity = jnp.eye(4)
         self.trajectory.append((timestamp, frame.t_cw, ok))
-        if self.ref_kf >= 0:
-            self.relative_trajectory.append(
-                (timestamp, self.ref_kf, t_rel, ok)
-            )
+        ref = rel_ref if rel_ref is not None else self.ref_kf
+        if ref >= 0:
+            self.relative_trajectory.append((timestamp, ref, t_rel, ok))
         self.last_frame = frame
-        out["frame"] = frame
-        out["ok"] = ok
-        out["new_kf"] = ok and self._need_new_keyframe()
-        return out
+        return {"frame": frame, "ok": ok, "fid": fid,
+                "timestamp": timestamp,
+                "new_kf": ok and self._need_new_keyframe(fid)}
+
+    # ---- one-frame-deep pipelined tracking ---------------------------
+    def _dispatch_pipelined(self, frame: Frame, timestamp: float) -> dict:
+        """Dispatch the fused tracking program for `frame` against the
+        current optimistic last outputs (the in-flight frame's, if any) —
+        NO fetch.  Also dispatches the frame's pose epilogue (its inputs
+        are available as futures)."""
+        infl = self._inflight
+        if infl is not None:
+            lf_pt = infl["pt_idx"]
+            lf_ang = infl["frame"].feats.angle
+            base_t = infl["t_cw"]
+        else:
+            lf = self.last_frame
+            lf_pt, lf_ang = lf.pt_idx, lf.feats.angle
+            base_t = lf.t_cw
+        prev_t = base_t
+        radius = 7.0 if self.cfg.sensor in ("stereo", "rgbd") else 15.0
+        th_depth_m = self.cfg.cam.bf / max(self.cfg.cam.fx, 1e-9) \
+            * self.cfg.tracking.th_depth
+        pre_state = self.state
+        t_cw, pt_idx, stats, vis, fnd = _track_frame_fused(
+            self.cfg.cam, self.state, base_t, self.velocity,
+            frame.feats.xy, frame.feats.desc, frame.feats.level,
+            frame.feats.valid, frame.feats.angle, frame.ur, frame.depth,
+            lf_pt, lf_ang, radius, th_depth_m,
+            n_keep=self.cfg.map.local_window,
+            stereo=self.cfg.sensor in ("stereo", "rgbd"))
+        try:
+            stats.copy_to_host_async()
+        except Exception:
+            pass
+        self.state = self.state._replace(pt_visible=vis, pt_found=fnd)
+        # this frame's epilogue, relative to the optimistic previous pose;
+        # ref_kf is one frame stale here — T_rel entries are exact for
+        # WHICHEVER valid reference they record, so staleness is benign
+        ref_pose = self.state.kf_pose[self.ref_kf] if self.ref_kf >= 0 \
+            else jnp.eye(4)
+        vel, t_rel = _frame_epilogue(t_cw, prev_t, ref_pose)
+        return {"fid": self.frame_id, "frame": frame, "t_cw": t_cw,
+                "pt_idx": pt_idx, "stats": stats, "ts": timestamp,
+                "pre_state": pre_state, "vel": vel, "t_rel": t_rel,
+                "ref": self.ref_kf}
+
+    def _track_pipelined(self, frame: Frame, timestamp: float) -> list:
+        infl = self._inflight
+        disp = self._dispatch_pipelined(frame, timestamp)
+        self._inflight = disp
+        if infl is None:
+            # priming: the real decisions for this frame arrive at the
+            # next call's finalize
+            prov = frame._replace(t_cw=disp["t_cw"], pt_idx=disp["pt_idx"])
+            return [{"frame": prov, "ok": True, "new_kf": False,
+                     "fid": disp["fid"], "timestamp": timestamp,
+                     "provisional": True}]
+        return self._finalize_one(infl, speculative=disp)
+
+    def finalize_pending(self) -> list:
+        """Finalize the in-flight pipelined frame, if any (state
+        transitions, flush, shutdown)."""
+        infl = self._inflight
+        if infl is None:
+            return []
+        self._inflight = None
+        return self._finalize_one(infl, speculative=None)
+
+    def _finalize_one(self, infl: dict, speculative) -> list:
+        """Fetch + decide the in-flight frame.  On success, commit its
+        optimistic outputs (the speculative next dispatch stays valid).
+        On failure, REWIND the speculative dispatch, run the fallback
+        chain for the failed frame, and re-process the speculative frame
+        synchronously — tracking failures cost one wasted dispatch, the
+        steady state costs no fetch wait."""
+        stats_dev = infl["stats"]
+        if self.pre_fetch_hook is not None:
+            self.pre_fetch_hook()
+        stats = np.asarray(stats_dev)
+        self._warn_local_overflow(stats)
+        if stats[9] >= 0:
+            self.ref_kf = int(stats[9])
+        elif stats[2] >= 0:
+            self.ref_kf = int(stats[2])
+        mm_ok = stats[14] != 0
+        ok = False
+        if mm_ok:
+            self._stage_stats = stats[7:14]
+            n_tracked = int(stats[8])
+            ok = n_tracked >= self.cfg.tracking.min_tracked_for_ok
+        else:
+            self._stage_stats = stats[0:7]
+        if ok:
+            self.n_inliers_last = n_tracked
+            frame1 = infl["frame"]._replace(t_cw=infl["t_cw"],
+                                            pt_idx=infl["pt_idx"])
+            # commit with the epilogue computed at dispatch; the t_rel
+            # entry references the ref recorded then
+            out = self._commit_frame(frame1, infl["ts"], infl["fid"], True,
+                                     velocity=infl["vel"],
+                                     t_rel=infl["t_rel"],
+                                     rel_ref=infl["ref"])
+            return [out]
+        # ---- failure: rewind the speculative dispatch and fall back ----
+        if speculative is not None:
+            self.state = speculative["pre_state"]
+            self._inflight = None
+        frame1 = infl["frame"]
+        ok2 = False
+        frame1, ok2 = self._track_reference_kf(frame1)
+        if not ok2:
+            frame1, ok2 = self._relocalize(frame1)
+        if ok2:
+            frame1, n = self._track_local_map(frame1)
+            ok2 = n >= self.cfg.tracking.min_tracked_for_ok
+            self.n_inliers_last = n
+        outs = [self._commit_frame(frame1, infl["ts"], infl["fid"], ok2)]
+        if speculative is not None:
+            # the speculative frame's dispatch consumed pre-failure state:
+            # re-process it synchronously against the corrected frame
+            outs += self._track_sync(speculative["frame"],
+                                     speculative["ts"], speculative["fid"])
+        return outs
 
     # ------------------------------------------------------------------
     def _stereo_init(self, frame: Frame) -> bool:
@@ -798,7 +945,7 @@ class Tracker:
         return frame, False
 
     # ------------------------------------------------------------------
-    def _need_new_keyframe(self) -> bool:
+    def _need_new_keyframe(self, fid: int = None) -> bool:
         """`Tracking::NeedNewKeyFrame` parity (`src/Tracking.cc:1059-1142`):
 
         - close-point census (stereo/RGB-D): many near points with depth
@@ -813,8 +960,11 @@ class Tracker:
           close-point pressure);
         - c2: tracked inliers below thRefRatio of the reference KF's
           tracked count, or close-point pressure — and > 15 inliers.
-        Insert iff (c1a | c1b | c1c) & c2."""
-        since = self.frame_id - self.last_kf_frame_id
+        Insert iff (c1a | c1b | c1c) & c2.  `fid`: the frame the decision
+        is for (the pipelined path finalizes one frame behind
+        self.frame_id)."""
+        since = (fid if fid is not None else self.frame_id) \
+            - self.last_kf_frame_id
         n_kf = int(self._kf_valid_np().sum())
 
         # counts come from the last fused stage's stats vector — no extra
