@@ -62,7 +62,8 @@ def _measure_rtt(n: int = 6) -> float:
     return 1e3 * float(np.median(ts))
 
 
-def run(frames: int = 36, warmup: int = 6, passes: int = 3) -> dict:
+def run(frames: int = 36, warmup: int = 6, passes: int = 3,
+        pipelined: bool = False) -> dict:
     """Run the whole-pipeline FPS benchmark; returns the result dict
     (callable from bench.py so the driver records pipeline_fps per round).
 
@@ -94,7 +95,8 @@ def run(frames: int = 36, warmup: int = 6, passes: int = 3) -> dict:
         orb=OrbConfig(),  # 2000 features, 8 levels (KITTI00-02.yaml)
         recon=ReconConfig.tpu_fast(),
         tracking=TrackingConfig(fps=10.0, th_depth=35.0,
-                                max_frames_between_kf=5),
+                                max_frames_between_kf=5,
+                                pipelined=pipelined),
         map=MapConfig(max_kf=48, max_feat=2048, max_pts=32768, max_obj=8,
                       max_oobs=256, local_window=8),
     )
@@ -206,9 +208,13 @@ def run(frames: int = 36, warmup: int = 6, passes: int = 3) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=36)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="EXPERIMENTAL one-frame pipelined tracking "
+                    "(TrackingConfig.pipelined)")
     ap.add_argument("--warmup", type=int, default=6)
     args = ap.parse_args()
-    print(json.dumps(run(args.frames, args.warmup)))
+    print(json.dumps(run(args.frames, args.warmup,
+                         pipelined=args.pipelined)))
 
 
 if __name__ == "__main__":
