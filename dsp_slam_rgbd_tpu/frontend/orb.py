@@ -251,10 +251,10 @@ def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Features:
 @partial(jax.jit, static_argnames=("cfg",))
 def extract_pair(img_a: jnp.ndarray, img_b: jnp.ndarray,
                  cfg: OrbConfig = OrbConfig()):
-    """ORB extraction for a stereo pair as ONE batched dispatch (vmapped
-    over the two images) — halves the per-frame extractor dispatch count
-    and lets XLA overlap the two pyramids."""
-    both = jax.vmap(lambda im: extract(im, cfg))(jnp.stack([img_a, img_b]))
-    f_a = jax.tree_util.tree_map(lambda x: x[0], both)
-    f_b = jax.tree_util.tree_map(lambda x: x[1], both)
-    return f_a, f_b
+    """ORB extraction for a stereo pair as ONE dispatch, each image traced
+    SEPARATELY inside the program.  A vmapped formulation was measured
+    2.7x SLOWER on the v5e (29.0 vs 10.9 ms for a KITTI-size pair): the
+    batch dimension pushes the per-level top_k/argsort/gather chains onto
+    slow batched paths, while two independent traces let XLA schedule the
+    images' pyramids side by side."""
+    return extract(img_a, cfg), extract(img_b, cfg)
