@@ -19,7 +19,6 @@ Map-state mutations are functional; the host drives the sequencing.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
