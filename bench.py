@@ -163,6 +163,11 @@ def main():
         out["pipeline_fps"] = p["value"]
         out["pipeline_track_only_ms"] = p["track_only_ms"]
         out["pipeline_kf_frame_ms"] = p["kf_frame_ms"]
+        # context for cross-run comparability: the per-pass spread and the
+        # tunnel RTT paid (observed 25-41 ms by epoch; FPS moves ~±1 with
+        # it — same-commit medians measured 6.3-8.0 across epochs)
+        out["pipeline_passes_fps"] = p.get("passes_fps")
+        out["pipeline_tunnel_rtt_ms"] = p.get("tunnel_rtt_ms")
     except Exception as e:  # never fail the primary metric
         out["pipeline_fps_error"] = str(e)[:200]
     print(json.dumps(out))
